@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship pipeline plus representative
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is forced with a cheap count() action (no driver-side
+materialization of results)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "event_run_groups",
+    "primary_event_election",
+    "latest_event_per_user",
+    "user_sessions",
+    "merge_upsert_freshness",
+    "snapshot_new_keys",
+    "cdc_compaction",
+    "override_coalesce",
+    "multi_format_dates",
+]
+
+
+def main() -> None:
+    from experts_etl_spark.session import get_spark
+    from experts_etl_spark.plans import registry
+    from experts_etl_spark.plans.flagship import person_assembly
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once so timings measure the engine, not startup.
+    person_assembly(spark, SF_DIR).count()
+
+    t0 = time.time()
+    start = time.time()
+    person_assembly(spark, SF_DIR).count()
+    timings["flagship_person_assembly"] = round(time.time() - start, 3)
+
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        start = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - start, 3)
+
+    total = round(time.time() - t0, 3)
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Merge / upsert / delete-cascade operators (SURVEY.md §2.8).
+
+The reference's "load" layer is per-row ORM upserts with freshness
+guards (transformer_loaders/pure_api_internal_person.py:131-152) and
+multi-table delete cascades (extractor_loaders/pure_api_persons.py:53-82).
+Without Delta in this image, MERGE is emulated set-at-a-time:
+anti-join + union (pure-parquet fallback noted in SURVEY.md §4.2).
+On Delta/Iceberg these become real MERGE INTO statements — the
+operator signatures are the stable surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from experts_etl_spark.operators.windows import latest_per_key
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    freshness_col: str | None = None,
+) -> DataFrame:
+    """M4/C5: upsert-by-key with an optional freshness guard.
+
+    Semantics (transformer_loaders/pure_api_internal_person.py:131-152):
+    for each source row, if a target row with the same key exists and
+    ``target.freshness >= source.freshness`` the source row is SKIPPED
+    (out-of-order protection); otherwise the source row replaces /
+    inserts.  Equivalent to Delta's
+    ``WHEN MATCHED AND s.modified > t.modified THEN UPDATE``.
+
+    Set-at-a-time: decide winners with a join, rebuild the table as
+    (kept targets) ∪ (winning sources).  Both sides must share a schema.
+    """
+    cols = target.columns
+    key_list = list(keys)
+    if freshness_col is None:
+        winners = source.select(*cols)
+        kept = target.join(winners.select(*key_list).distinct(), key_list, "left_anti")
+        return kept.unionByName(winners)
+
+    t_fresh = target.select(
+        *key_list, F.col(freshness_col).alias("_t_fresh")
+    )
+    winners = (
+        source.join(t_fresh, key_list, "left")
+        .filter(
+            F.col("_t_fresh").isNull()
+            | (F.col(freshness_col) > F.col("_t_fresh"))
+        )
+        .select(*cols)
+    )
+    kept = target.join(winners.select(*key_list).distinct(), key_list, "left_anti")
+    return kept.unionByName(winners)
+
+
+def delete_cascade(
+    child: DataFrame, deleted_keys: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """M6: multi-table delete cascade — drop child rows whose parent key
+    was deleted (extractor_loaders/pure_api_persons.py:53-76).  One
+    anti-join per child table."""
+    return child.join(deleted_keys.select(*on).distinct(), list(on), "left_anti")
+
+
+def delete_merged_uuids(
+    table: DataFrame, docs: DataFrame, previous_uuids_col: str, key: str
+) -> DataFrame:
+    """M7: merged-record cleanup — delete any local record whose key
+    appears in an incoming document's ``previousUuids`` array
+    (extractor_loaders/pure_api_persons.py:78-82).  Explode the array →
+    anti-join."""
+    merged = (
+        docs.select(F.explode(F.col(previous_uuids_col)).alias(key))
+        .distinct()
+    )
+    return table.join(merged, [key], "left_anti")
+
+
+def reconcile_sets(
+    current: DataFrame, desired: DataFrame, on: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """X3: id-set reconciliation → (to_add, to_delete).
+
+    Reference computes ``api_org_uuids - db_org_uuids`` and the inverse
+    with Python sets per person
+    (transformer_loaders/pure_api_internal_person.py:163-173,306-311).
+    Set-at-a-time it is two anti-joins over the full association tables.
+    """
+    on = list(on)
+    to_add = desired.join(current, on, "left_anti")
+    to_delete = current.join(desired, on, "left_anti")
+    return to_add, to_delete
+
+
+def overwrite_children(
+    child: DataFrame,
+    new_children: DataFrame,
+    parent_keys: Sequence[str],
+) -> DataFrame:
+    """M5: delete-and-recreate child sets for touched parents
+    ("so complex, easiest to delete and re-create",
+    transformer_loaders/pure_api_internal_person.py:282-302).
+    Anti-join out every child of a touched parent, union the new rows.
+    On a partitioned lake this is an overwrite of the touched parent
+    partitions only."""
+    touched = new_children.select(*parent_keys).distinct()
+    kept = child.join(touched, list(parent_keys), "left_anti")
+    return kept.unionByName(new_children.select(*child.columns))

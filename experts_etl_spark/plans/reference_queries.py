@@ -1,0 +1,747 @@
+"""Driver-facing queries exercising the reference operator surface
+(SURVEY.md §2) on the synthetic tables, each with a DuckDB oracle twin.
+
+Cross-engine determinism rules used throughout:
+
+- Money aggregates sum in DECIMAL (exact) and cast the result to DOUBLE
+  — identical bits in Spark and DuckDB regardless of summation order.
+- Every window ordering includes a unique tie-break column.
+- Aggregate/computed columns are aliased identically in both engines.
+- DuckDB ``sum(int)`` returns HUGEINT — oracles cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from experts_etl_spark import functions as X
+from experts_etl_spark.operators import (
+    compact_changes,
+    dedupe_keep_best,
+    dim_lookup,
+    elect_primary,
+    existence_gate,
+    latest_per_key,
+    merge_upsert,
+    override_join,
+    run_groups,
+    sessionize,
+    snapshot_diff_keys,
+    snapshot_diff_rows,
+    upsert_error_counts,
+    with_error_id,
+)
+from experts_etl_spark.sources import read_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, prec="decimal(12,2)"):
+    return (F.col(col) if isinstance(col, str) else col).cast(prec)
+
+
+# ---------------------------------------------------------------------------
+# Scan + aggregate (S1, A5/A6, P2-P4) — flagship pricing summary
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→agg; the filter and the 7-column
+    projection push down to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(4,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(4,2)"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(_dec("l_discount", "decimal(4,2)")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "customers_per_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: COUNT per group over a broadcast dim join (reference
+    count_pure_eligible_persons_in_dept, umn_data_error.py:125-126)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / sequence operators (W1-W9, A4/J5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/J5: latest record per key (latest-demog-per-person,
+    demographics.py:4-14; latest-per-uuid,
+    transformer_loaders/pure_api_internal_person.py:19-27)."""
+    ev = read_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@query(
+    "event_run_groups",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(group_id AS BIGINT) AS group_id,
+           min(event_type) AS event_type,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM grp GROUP BY user_id, group_id
+    """,
+)
+def event_run_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: run-length grouping (gaps-and-islands) — consecutive events of
+    the same type per user form one group (reference group_entries,
+    oit_to_edw/employee_job.py:205-231)."""
+    ev = read_table(spark, sf_dir, "events")
+    grouped = run_groups(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], ["event_type"]
+    )
+    return grouped.groupBy("user_id", F.col("group_id").cast("bigint").alias("group_id")).agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "primary_event_election",
+    """
+    SELECT user_id, event_id AS primary_event_id, event_type, ts FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                                 WHEN 'view' THEN 3 WHEN 'click' THEN 4 ELSE 5 END,
+                 ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def primary_event_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: primary election — the reference's 6-level cascading fallback
+    (transform_primary_job, oit_to_edw/person.py:319-459) expressed as a
+    single priority-class window ordering; exactly one winner per user."""
+    ev = read_table(spark, sf_dir, "events")
+    priority = (
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "view", 3)
+        .when(F.col("event_type") == "click", 4)
+        .otherwise(5)
+    )
+    return (
+        elect_primary(ev, ["user_id"], priority, [F.col("ts"), F.col("event_id")])
+        .filter(F.col("primary"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("primary_event_id"),
+            "event_type",
+            "ts",
+        )
+    )
+
+
+@query(
+    "user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-shaped sessionization: a 30-minute silence closes the session
+    (the scale generalization of the reference's stint splitting,
+    oit_to_edw/affiliate_job.py:111-147)."""
+    ev = read_table(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 1800)
+    return s.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "dedupe_keep_best",
+    """
+    WITH flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderstatus = 'O' AS is_open,
+             bool_or(o_orderstatus = 'O') OVER (PARTITION BY o_custkey, o_orderpriority) AS any_open,
+             row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY (o_orderstatus = 'O') DESC, o_orderdate DESC, o_orderkey DESC) AS rn,
+             o_orderpriority
+      FROM orders
+    )
+    SELECT o_custkey, o_orderpriority, o_orderkey, o_totalprice, any_open
+    FROM flagged WHERE rn = 1
+    """,
+)
+def q_dedupe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: collapse rows sharing a composite business key, preferring the
+    "still-open" row and OR-ing a flag across the group
+    (transform_staff_org_assoc_id, oit_to_edw/person.py:272-317)."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "any_open", F.col("o_orderstatus") == "O"
+    )
+    best = dedupe_keep_best(
+        o,
+        ["o_custkey", "o_orderpriority"],
+        [
+            (F.col("o_orderstatus") == "O").desc(),
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey").desc(),
+        ],
+        or_cols=["any_open"],
+    )
+    return best.select(
+        "o_custkey", "o_orderpriority", "o_orderkey", "o_totalprice", "any_open"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diffs (X1/X2) and set ops (A8/X4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "snapshot_new_keys",
+    """
+    SELECT DISTINCT o_custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def snapshot_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: key-level snapshot diff — customers first seen after the
+    cutoff (pure_eligible_person MINUS history, oit_to_edw/person.py:129-140)."""
+    o = read_table(spark, sf_dir, "orders")
+    current = o.select("o_custkey").distinct()
+    history = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    return snapshot_diff_keys(current, history, ["o_custkey"])
+
+
+@query(
+    "snapshot_changed_rows",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), hist_latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1
+    )
+    SELECT user_id, event_type, value FROM latest
+    WHERE user_id IN (
+      SELECT user_id FROM (SELECT * FROM latest EXCEPT ALL SELECT * FROM hist_latest)
+    )
+    """,
+)
+def snapshot_changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: full-row snapshot diff against latest history per key
+    (11-column demog MINUS, oit_to_edw/person.py:142-186)."""
+    ev = read_table(spark, sf_dir, "events")
+    current = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "value")
+    history = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    changed = snapshot_diff_rows(
+        current,
+        history,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        ["event_type", "value"],
+    )
+    return changed.select("user_id", "event_type", "value")
+
+
+@query(
+    "multiset_except",
+    """
+    SELECT event_type FROM events WHERE user_id % 2 = 0
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE user_id % 2 = 1
+    """,
+)
+def multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/X4: multiset difference (Counter(uuids) − Counter(in_pure),
+    pure_to_edw/collection.py:96-103) — ``exceptAll``."""
+    ev = read_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# CDC (C1-C5, W7) over the events feed
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_watermark",
+    "SELECT max(ts) AS wm FROM events",
+)
+def cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/A1: scalar MAX watermark
+    (extractor_loaders/pure_api_changes.py:28-41)."""
+    from experts_etl_spark.operators.cdc import watermark
+
+    ev = read_table(spark, sf_dir, "events")
+    return watermark(ev, None, "ts").select(F.col("wm"))
+
+
+@query(
+    "cdc_compaction",
+    """
+    SELECT user_id, event_id AS version,
+           CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS action
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM (SELECT DISTINCT user_id, event_id, event_type FROM events)
+    ) WHERE rn = 1
+    """,
+)
+def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4/W7: per-key latest-version-wins compaction; the winning
+    event's type decides delete vs upsert
+    (changes_buffer_managers.py:4-21,
+    extractor_loaders/pure_api_persons.py:124-189).  ``event_id`` plays
+    the version role; 'error' events play DELETE."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    compacted = compact_changes(ev, "user_id", "event_id")
+    return compacted.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPSERT")
+        .alias("action"),
+    )
+
+
+@query(
+    "cdc_new_versions",
+    """
+    WITH stored AS (
+      SELECT user_id, max(event_id) AS maxv FROM events
+      WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.event_type
+    FROM events e LEFT JOIN stored s ON e.user_id = s.user_id
+    WHERE e.ts >= TIMESTAMP '2024-01-15' AND (s.maxv IS NULL OR e.event_id > s.maxv)
+    """,
+)
+def cdc_new_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: idempotent ingest — drop events whose (key, version) is
+    already stored (extractor_loaders/pure_api_changes.py:49-64)."""
+    from experts_etl_spark.operators.cdc import filter_new_versions
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    stored = ev.filter(F.col("ts") < cutoff)
+    incoming = ev.filter(F.col("ts") >= cutoff)
+    return filter_new_versions(incoming, stored, "user_id", "event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@query(
+    "merge_upsert_freshness",
+    """
+    WITH tgt AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1
+    ), src AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1
+    ), winners AS (
+      SELECT s.* FROM src s LEFT JOIN tgt t USING (user_id)
+      WHERE t.user_id IS NULL OR s.ts > t.ts
+    )
+    SELECT * FROM winners
+    UNION ALL
+    SELECT t.* FROM tgt t WHERE t.user_id NOT IN (SELECT user_id FROM winners)
+    """,
+)
+def merge_upsert_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/C5: freshness-guarded MERGE — source row skipped when the
+    stored row is same-or-newer
+    (transformer_loaders/pure_api_internal_person.py:131-152)."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    target = latest_per_key(
+        ev.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_type", "value", "ts")
+    source = latest_per_key(
+        ev.filter(F.col("ts") >= cutoff),
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+    ).select("user_id", "event_type", "value", "ts")
+    return merge_upsert(target, source, ["user_id"], freshness_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Joins / gates / quarantine (J1-J3, J6/J9) and errors (A7/F9)
+# ---------------------------------------------------------------------------
+
+@query(
+    "gate_passed",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def gate_passed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J9 (pass side): left-semi existence gate
+    (transformer_loaders/pure_api_pub.py:207-225)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    passed, _ = existence_gate(
+        o, c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+    )
+    return passed.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "gate_deferred",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def gate_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J9/C6 (defer side): left-anti → deferred set retried next cycle
+    (transformer_loaders/pure_api_internal_person.py:161-186)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    _, deferred = existence_gate(
+        o, c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+    )
+    return deferred.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "dim_lookup_quarantine",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey
+    FROM lineitem l LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 0) s
+      ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NULL
+    """,
+)
+def dim_lookup_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (miss side): dimension-lookup misses routed to quarantine
+    (record_unknown_dept_errors, oit_to_edw/employee_job.py:118-138)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    _, missing = dim_lookup(
+        li, dim.withColumnRenamed("s_suppkey", "l_suppkey"), ["l_suppkey"], "s_name"
+    )
+    return missing.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@query(
+    "override_coalesce",
+    """
+    WITH defaults AS (
+      SELECT p_brand,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS std_price
+      FROM part GROUP BY p_brand
+    ), overrides AS (
+      SELECT p_brand, p_size, CAST(min(p_retailprice) AS DOUBLE) AS std_price
+      FROM part WHERE p_size >= 30 GROUP BY p_brand, p_size
+    )
+    SELECT p.p_partkey,
+           coalesce(o.std_price, d.std_price) AS std_price
+    FROM part p
+    LEFT JOIN defaults d ON p.p_brand = d.p_brand
+    LEFT JOIN overrides o ON p.p_brand = o.p_brand AND p.p_size = o.p_size
+    """,
+)
+def override_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: two-level default/override lookup with coalesce
+    (oit_to_edw/employee_job.py:169-199).  avg over DOUBLE is safe here:
+    both engines sum a handful of identical doubles in deterministic
+    order only for small groups — so the oracle uses avg() too and the
+    Spark side matches it exactly by computing sum/count in decimal."""
+    p = read_table(spark, sf_dir, "part")
+    defaults = p.groupBy("p_brand").agg(
+        (F.sum(_dec("p_retailprice")).cast("double") / F.count(F.lit(1))).alias(
+            "std_price"
+        )
+    )
+    overrides = (
+        p.filter(F.col("p_size") >= 30)
+        .groupBy("p_brand", "p_size")
+        .agg(F.min("p_retailprice").cast("double").alias("std_price"))
+    )
+    return override_join(
+        p, defaults, overrides, ["p_brand"], ["p_brand", "p_size"], ["std_price"]
+    ).select("p_partkey", "std_price")
+
+
+@query(
+    "error_counters",
+    """
+    SELECT sha256(concat_ws(chr(31), 'no_purchase', CAST(user_id AS VARCHAR))) AS error_id,
+           min(ts) AS first_seen, max(ts) AS last_seen, count(*) AS count
+    FROM events WHERE event_type = 'error'
+    GROUP BY user_id
+    """,
+)
+def error_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/F9: quarantine counters keyed by a deterministic sha-256 error
+    id (umn_data_error.py:209-233, exceptions.py:38-43)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    errs = ev.withColumn(
+        "error_id",
+        F.sha2(
+            F.concat_ws("\x1f", F.lit("no_purchase"), F.col("user_id").cast("string")),
+            256,
+        ),
+    )
+    return upsert_error_counts(None, errs, id_col="error_id", ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function pack (F1/F4-F8/F11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multi_format_dates",
+    """
+    WITH strs AS (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 3 AS INTEGER)
+               WHEN 0 THEN strftime(o_orderdate, '%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m')
+               ELSE strftime(o_orderdate, '%Y-%m-%d') END AS s
+      FROM orders
+    )
+    SELECT o_orderkey, s,
+           CASE WHEN regexp_matches(s, '^\\d{4}$') THEN strptime(s, '%Y')
+                WHEN regexp_matches(s, '^\\d{4}-\\d{2}$') THEN strptime(s, '%Y-%m')
+                WHEN regexp_matches(s, '^\\d{4}-\\d{2}-\\d{2}$') THEN strptime(s, '%Y-%m-%d')
+                ELSE NULL END AS parsed_ts,
+           CASE WHEN regexp_matches(s, '^\\d{4}$') THEN 366
+                WHEN regexp_matches(s, '^\\d{4}-\\d{2}$') THEN 31
+                WHEN regexp_matches(s, '^\\d{4}-\\d{2}-\\d{2}$') THEN 1
+                ELSE NULL END AS ts_precision
+    FROM strs
+    """,
+)
+def multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F11: multi-format date parse + partial-date precision
+    (transformers.py:8-29, transformer_loaders/pure_api_pub.py:48-62).
+    Date strings of three precisions are synthesized from o_orderdate,
+    then parsed back with the regex-gated coalesce."""
+    o = read_table(spark, sf_dir, "orders")
+    s = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    df = o.select("o_orderkey", s.alias("s"))
+    return df.select(
+        "o_orderkey",
+        "s",
+        X.multi_format_ts(F.col("s")).alias("parsed_ts"),
+        X.date_precision(F.col("s")).alias("ts_precision"),
+    )
+
+
+@query(
+    "uri_tails",
+    """
+    WITH uris AS (
+      SELECT p_partkey,
+             concat('catalog/', p_brand, '/', replace(p_type, ' ', '_'), '/', CAST(p_partkey AS VARCHAR)) AS uri
+      FROM part
+    )
+    SELECT p_partkey, uri,
+           list_reverse(string_split(uri, '/'))[1] AS tail_1,
+           list_reverse(string_split(uri, '/'))[2] AS tail_2,
+           list_reverse(string_split(uri, '/'))[3] AS tail_3
+    FROM uris
+    """,
+)
+def uri_tails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: uri tail parsing — split on '/', reverse, take leading
+    segments (transformer_loaders/pure_api_pub.py:185-187)."""
+    p = read_table(spark, sf_dir, "part")
+    uri = F.concat_ws(
+        "/",
+        F.lit("catalog"),
+        F.col("p_brand"),
+        F.regexp_replace("p_type", " ", "_"),
+        F.col("p_partkey").cast("string"),
+    )
+    df = p.select("p_partkey", uri.alias("uri"))
+    tail = X.uri_tail(F.col("uri"))
+    return df.select(
+        "p_partkey",
+        "uri",
+        tail[0].alias("tail_1"),
+        tail[1].alias("tail_2"),
+        tail[2].alias("tail_3"),
+    )
+
+
+@query(
+    "locale_pick",
+    """
+    SELECT source,
+           arg_min(text, doc_id) FILTER (WHERE lang = 'en') AS en_text
+    FROM documents GROUP BY source
+    """,
+)
+def locale_pick_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: first localized value matching a locale from an
+    array<struct> — built with a higher-order filter, no explode
+    (transformer_loaders/pure_api_internal_person.py:196-203)."""
+    d = read_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "lang", "text"))).alias("texts")
+    )
+    return agg.select(
+        "source",
+        X.locale_pick(F.col("texts"), locale="en", locale_field="lang", value_field="text").alias(
+            "en_text"
+        ),
+    )
+
+
+@query(
+    "identity_assembly",
+    """
+    WITH m AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 3 = 1 THEN ' '
+                  WHEN c_custkey % 3 = 2 THEN substr(c_mktsegment, 1, 1) END AS middle
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN middle IS NOT NULL AND regexp_matches(middle, '\\S')
+                THEN concat(c_name, ' ', middle)
+                ELSE c_name END AS full_name,
+           concat('cust', CAST(c_custkey AS VARCHAR), '@umn.edu') AS email,
+           concat('autoid:', CAST(c_custkey AS VARCHAR), '-', CAST(c_nationkey AS VARCHAR)) AS assoc_id
+    FROM m
+    """,
+)
+def identity_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F6: name concat with blank-middle-initial guard, synthetic
+    assoc id, email derivation (oit_to_edw/person.py:116,278-284,486-491)."""
+    c = read_table(spark, sf_dir, "customer")
+    middle = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(" "))
+        .otherwise(F.substring("c_mktsegment", 1, 1))
+    )
+    return c.select(
+        "c_custkey",
+        X.full_name(F.col("c_name"), middle).alias("full_name"),
+        X.derive_email(
+            F.concat(F.lit("cust"), F.col("c_custkey").cast("string"))
+        ).alias("email"),
+        X.synthetic_assoc_id(
+            F.col("c_custkey").cast("string"), F.col("c_nationkey").cast("string")
+        ).alias("assoc_id"),
+    )
