@@ -136,10 +136,13 @@ def split_stints(
     df = df.withColumn("_rn", rn)
 
     if drop_after_closed:
-        closed_rn = F.min(
-            F.when(F.col(status_col) == closed_status, F.col("_rn"))
-        ).over(wall)
-        df = df.filter(closed_rn.isNull() | (F.col("_rn") <= closed_rn))
+        df = df.withColumn(
+            "_closed_rn",
+            F.min(F.when(F.col(status_col) == closed_status, F.col("_rn"))).over(wall),
+        )
+        df = df.filter(
+            F.col("_closed_rn").isNull() | (F.col("_rn") <= F.col("_closed_rn"))
+        ).drop("_closed_rn")
 
     # Recompute neighborhood on the surviving rows.
     w2 = Window.partitionBy(*part).orderBy("_rn")

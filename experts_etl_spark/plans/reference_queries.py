@@ -25,12 +25,15 @@ from experts_etl_spark.operators import (
     latest_per_key,
     merge_upsert,
     override_join,
+    reference_entry,
     run_groups,
     sessionize,
     snapshot_diff_keys,
     snapshot_diff_rows,
+    split_stints,
     upsert_error_counts,
     with_error_id,
+    with_lead_end,
 )
 from experts_etl_spark.sources import read_table
 
@@ -288,6 +291,146 @@ def q_dedupe_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return best.select(
         "o_custkey", "o_orderpriority", "o_orderkey", "o_totalprice", "any_open"
+    )
+
+
+@query(
+    "stint_splitting",
+    """
+    WITH rn AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), cl AS (
+      SELECT *, min(CASE WHEN event_type = 'error' THEN rn END)
+                  OVER (PARTITION BY user_id) AS closed_rn
+      FROM rn
+    ), kept AS (
+      SELECT * FROM cl WHERE closed_rn IS NULL OR rn <= closed_rn
+    ), flg AS (
+      SELECT *, CASE WHEN event_type IN ('view','click','signup')
+                      AND coalesce(lag(CAST(event_type IN ('view','click','signup') AS INT))
+                                   OVER (PARTITION BY user_id ORDER BY rn), 0) = 0
+                THEN 1 ELSE 0 END AS starts
+      FROM kept
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(sum(starts) OVER (PARTITION BY user_id ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS stint_id
+    FROM flg
+    """,
+)
+def stint_splitting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: stint splitting with stop-after-closed semantics
+    (split_entries_into_stints, oit_to_edw/affiliate_job.py:111-147).
+    view/click/signup are active, purchase terminates a stint, the
+    first error row closes the key — later rows are ignored."""
+    ev = read_table(spark, sf_dir, "events")
+    out = split_stints(
+        ev,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        "event_type",
+        active_statuses=["view", "click", "signup"],
+        closed_status="error",
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", F.col("stint_id").cast("bigint").alias("stint_id")
+    )
+
+
+@query(
+    "reference_entry_selection",
+    """
+    WITH base AS (
+      SELECT *, CAST(event_type = 'purchase' AS INT) AS is_pref FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY is_pref DESC, ts, event_id) AS rn_pref,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last,
+             max(is_pref) OVER (PARTITION BY user_id) AS has_pref
+      FROM base
+    )
+    SELECT user_id, event_id, event_type, ts FROM r
+    WHERE CASE WHEN has_pref = 1 THEN rn_pref ELSE rn_last END = 1
+    """,
+)
+def reference_entry_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: reference-entry selection — first 'purchase' row per user if
+    any, else the last row (oit_to_edw/employee_job.py:97-106)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = reference_entry(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "event_type",
+        preferred_status="purchase",
+    )
+    return out.select("user_id", "event_id", "event_type", "ts")
+
+
+@query(
+    "job_end_dates",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM ordered
+    ), jobs AS (
+      SELECT user_id, CAST(group_id AS BIGINT) AS group_id,
+             min(ts) AS start_ts, max(ts) AS end_ts
+      FROM grp GROUP BY user_id, group_id
+    )
+    SELECT user_id, group_id, start_ts,
+           coalesce(lead(start_ts) OVER (PARTITION BY user_id ORDER BY start_ts, group_id),
+                    end_ts) AS end_capped
+    FROM jobs
+    """,
+)
+def job_end_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W6: end-date derivation — the next group's start caps the
+    current group's end; open tail keeps its own last date
+    (oit_to_edw/employee_job.py:66-73,91-95,108-116)."""
+    ev = read_table(spark, sf_dir, "events")
+    grouped = run_groups(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], ["event_type"]
+    )
+    jobs = grouped.groupBy(
+        "user_id", F.col("group_id").cast("bigint").alias("group_id")
+    ).agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    capped = with_lead_end(
+        jobs, ["user_id"], [F.col("start_ts"), F.col("group_id")], "start_ts"
+    )
+    return capped.select(
+        "user_id",
+        "group_id",
+        "start_ts",
+        F.coalesce("next_start", "end_ts").alias("end_capped"),
+    )
+
+
+@query(
+    "visibility_rollup",
+    """
+    SELECT user_id,
+           CASE WHEN bool_or(event_type = 'purchase') THEN 'Public' ELSE 'Private' END AS visibility,
+           CAST(bool_or(event_type = 'signup') AS BOOLEAN) AS has_signup,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def visibility_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ANY/BOOL_OR rollups — person visibility is Public if any job
+    is Public; jobs_include_primary OR (oit_to_edw/person.py:257-313)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.when(F.max((F.col("event_type") == "purchase").cast("int")) == 1, "Public")
+        .otherwise("Private")
+        .alias("visibility"),
+        (F.max((F.col("event_type") == "signup").cast("int")) == 1).alias("has_signup"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
