@@ -1,0 +1,363 @@
+"""Driver-facing queries for the LLM-data-pipeline pack, with DuckDB
+oracle twins (SQL-expressible ops) or rows-only registration (the
+genuinely non-SQL Pandas-UDF paths: SimHash, frame sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from experts_etl_spark.llm import text as T
+from experts_etl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from experts_etl_spark.llm.multimodal import (
+    extract_metadata,
+    frame_sample,
+    with_binary_payload,
+)
+from experts_etl_spark.llm.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    bucketed_near_dup,
+    with_quantized,
+    cosine,
+    dot,
+)
+from experts_etl_spark.sources import read_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB fragments shared by several oracles.
+_W = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM (SELECT doc_id, {_W} AS w FROM documents)
+"""
+_JACCARD = f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+"""
+# Quantized-integer embeddings (exact in doubles) — see llm/similarity.py.
+_QEMB = """
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+  FROM embeddings
+"""
+_NEMB = f"WITH qe AS ({_QEMB}) SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qe"
+_SRP = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN embedding[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    + ")"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality_metrics",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_W} AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_chars,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_hits,
+             length(text) AS n_chars,
+             md5(array_to_string(w, ' ')) AS fp
+      FROM base
+    )
+    SELECT doc_id, CAST(ws_tokens AS INT) AS ws_tokens,
+           CAST(bpe_tokens AS INT) AS bpe_tokens,
+           CAST(punct_chars AS INT) AS punct_chars,
+           CAST(stop_hits AS INT) AS stop_hits, fp,
+           (CAST(stop_hits AS DOUBLE) / greatest(CAST(ws_tokens AS DOUBLE), 1.0)) * 0.5
+           + (least(CAST(n_chars AS DOUBLE), 400.0) / 400.0) * 0.3
+           + (1.0 - CAST(punct_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 0.2
+             AS quality
+    FROM m
+    """,
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation density,
+    stopword hits, quality score, and content fingerprint per document."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.ws_token_count(t).alias("ws_tokens"),
+        T.regex_token_count(t).cast("int").alias("bpe_tokens"),
+        T.punct_count(t).alias("punct_chars"),
+        T.stopword_hits(t).alias("stop_hits"),
+        T.fingerprint(t).alias("fp"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+             len(list_filter(w, x -> x IN ('der','die','und','das','nicht','ist','ein'))) AS h_de,
+             len(list_filter(w, x -> x IN ('el','la','los','las','una','es','y'))) AS h_es,
+             len(list_filter(w, x -> x IN ('le','la','les','des','est','et','un'))) AS h_fr
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h_en > 0 AND h_en >= greatest(h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de > 0 AND h_de >= greatest(h_es, h_fr) THEN 'de'
+                WHEN h_es > 0 AND h_es >= h_fr THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted
+    FROM hits
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID; ties break in en>de>es>fr order."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("predicted"))
+
+
+@query(
+    "token_count_by_lang",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len({_W})) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text"))).alias("total_ws_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5(array_to_string({_W}, ' ')) AS fp,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint."""
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard", f"{_JACCARD} WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (≥0.5), blocked on shared
+    shingles — the shuffle key is the shingle, never all-pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
+
+
+_MINHASH_COLS = ",\n".join(
+    f"min(CAST(concat('0x', substr(md5(concat('{i}:', shingle)), 1, 15)) AS BIGINT)) AS h{i}"
+    for i in range(16)
+)
+_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {bi} AS band_idx, md5(concat_ws(',', "
+    + ", ".join(f"CAST(h{bi*4+j} AS VARCHAR)" for j in range(4))
+    + ")) AS band_key FROM sigs"
+    for bi in range(4)
+)
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS ({_JACCARD})
+    SELECT c.id1, c.id2, j.jaccard
+    FROM cands c JOIN jac j ON c.id1 = j.id1 AND c.id2 = j.id2
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 md5-derived hashes) → LSH banding (4×4) → exact
+    Jaccard verification of candidates only."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, "text", "doc_id", 0.5)
+
+
+@query("dedup_simhash")  # Pandas-UDF path: rows-only check (non-SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, 16-bit-chunk blocked).
+    Arrow-batched pandas UDF — registered rows-only."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    WITH n AS ({_NEMB}),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) AS cos
+      FROM n p JOIN n c ON p.vec_id <> c.vec_id
+      WHERE p.vec_id < 8
+    )
+    SELECT probe_id, cand_id, rank, cos FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a probe set — the correctness
+    baseline; probes broadcast, corpus never shuffles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    return brute_force_topk(e, probes, "vec_id", "embedding", 5)
+
+
+@query(
+    "ann_topk_bucketed",
+    f"""
+    WITH base AS (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) AS cos
+      FROM n p JOIN n c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+      WHERE p.vec_id < 32
+    )
+    SELECT probe_id, cand_id, rank, cos FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style ANN: candidates restricted to the probe's 8-bit
+    sign-random-projection bucket — the linear-scale path."""
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 32)
+    return bucketed_ann_topk(e, probes, "vec_id", "embedding", 3)
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH n AS ({_NEMB})
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs at this scale;
+    ``bucketed_near_dup`` is the linear-scale variant)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = with_quantized(e, "embedding").select("vec_id", "_q", "_n2")
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cosine(dot(F.col("a._q"), F.col("b._q")), F.col("a._n2"), F.col("b._n2")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+
+
+@query("embedding_near_dup_bucketed")  # scale variant: rows-only
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed near-dup (recall/scale tradeoff documented in
+    llm/similarity.py) — rows-only registration."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           'application/octet-stream' AS sniffed
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction via Arrow-batched mapInPandas —
+    the Spark-side plumbing is real; the payload is utf-8 text bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    return extract_metadata(with_binary_payload(d, "text", "doc_id"))
+
+
+@query("multimodal_frame_sample")  # mapInPandas path: rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake frame-sampler over binary payloads
+    (mapInPandas; real codecs stubbed per llm/multimodal.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(d, "text", "doc_id"))

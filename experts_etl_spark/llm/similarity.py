@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+Cross-engine exactness: embeddings quantize to integers
+(round(x·1e7) — exact in doubles up to 2^53) so dot products and norms
+are integer arithmetic; the final cosine division/sqrt is IEEE-defined
+and therefore bit-identical in any engine.  No transcendentals.
+
+Scale design: brute-force top-k is the correctness baseline (fine for a
+broadcastable probe set); the SRP-bucketed variant blocks the candidate
+join on an 8-bit sign-random-projection bucket so the pair space stays
+linear in corpus size — the IVF-style scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1e7
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<double> of integer-valued doubles."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(QUANT), 0)
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — exact for integer-valued doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(dot_ab: Column, n2_a: Column, n2_b: Column) -> Column:
+    return dot_ab / F.sqrt(n2_a * n2_b)
+
+
+def with_quantized(df: DataFrame, vec_col: str) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.withColumn("_q", q).withColumn("_n2", dot(F.col("_q"), F.col("_q")))
+
+
+def brute_force_topk(
+    emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Baseline ANN: probes × corpus cosine, row_number ≤ k.
+
+    The probe side is broadcast (a probe set is small by definition);
+    the corpus streams through map tasks — no corpus shuffle at all.
+    """
+    cand = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("_q").alias("cq"), F.col("_n2").alias("cn2")
+    )
+    pr = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"), F.col("_q").alias("pq"), F.col("_n2").alias("pn2")
+    )
+    scored = (
+        cand.join(F.broadcast(pr), F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(dot(F.col("pq"), F.col("cq")), F.col("pn2"), F.col("cn2")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "rank", "cos")
+    )
+
+
+def srp_bucket(vec: Column, bits: int = 8) -> Column:
+    """Sign-random-projection bucket: the sign bits of the first
+    ``bits`` dimensions (the fixed axis-aligned projection keeps it
+    engine-portable).  Bucket cardinality 2^bits blocks candidate joins."""
+    terms = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def bucketed_near_dup(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float, bits: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the SRP bucket.
+
+    Near-identical vectors share sign patterns, so true near-dups
+    co-bucket with high probability; the join shuffles on the bucket
+    key — linear, not quadratic.  (Exact recall needs multi-probe; this
+    is the documented scale/recall tradeoff.)
+    """
+    q = with_quantized(emb, vec_col).select(
+        F.col(id_col), F.col("_q"), F.col("_n2"),
+        srp_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            cosine(
+                dot(F.col("a._q"), F.col("b._q")), F.col("a._n2"), F.col("b._n2")
+            ).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def bucketed_ann_topk(
+    emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str, k: int,
+    bits: int = 8,
+) -> DataFrame:
+    """IVF/LSH-style ANN: candidates restricted to the probe's SRP
+    bucket, then exact cosine + top-k within the bucket."""
+    cand = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("_q").alias("cq"),
+        F.col("_n2").alias("cn2"), srp_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    pr = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"), F.col("_q").alias("pq"),
+        F.col("_n2").alias("pn2"), srp_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        cand.join(F.broadcast(pr), on="bucket")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn("cos", cosine(dot(F.col("pq"), F.col("cq")), F.col("pn2"), F.col("cn2")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "rank", "cos")
+    )

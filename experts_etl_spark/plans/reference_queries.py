@@ -743,6 +743,122 @@ def error_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_error_counts(None, errs, id_col="error_id", ts_col="ts")
 
 
+@query(
+    "association_resolution_veto",
+    """
+    WITH assoc AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END AS missing
+      FROM lineitem l
+      LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0) s
+        ON l.l_suppkey = s.s_suppkey
+    ), veto AS (
+      SELECT l_orderkey, max(missing) AS any_missing, count(*) AS n_assocs
+      FROM assoc GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, v.n_assocs
+    FROM orders o JOIN veto v ON o.o_orderkey = v.l_orderkey
+    WHERE v.any_missing = 0
+    """,
+)
+def association_resolution_veto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: author-association resolution — every association element must
+    resolve against the person dim or the WHOLE document is skipped
+    (transformer_loaders/pure_api_pub.py:293-335).  Lineitems play the
+    association array; one missing supplier vetoes the order.  The veto
+    is bool_or over the association join — no per-document loop."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    dim = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select("s_suppkey")
+    )
+    assoc = li.join(
+        F.broadcast(dim), li.l_suppkey == dim.s_suppkey, "left"
+    ).select(
+        "l_orderkey",
+        F.when(F.col("s_suppkey").isNull(), 1).otherwise(0).alias("missing"),
+    )
+    veto = assoc.groupBy("l_orderkey").agg(
+        F.max("missing").alias("any_missing"), F.count(F.lit(1)).alias("n_assocs")
+    )
+    return (
+        o.join(veto, o.o_orderkey == veto.l_orderkey)
+        .filter(F.col("any_missing") == 0)
+        .select("o_orderkey", "n_assocs")
+    )
+
+
+@query(
+    "enrichment_left_join",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name
+    FROM customer c LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 3) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def enrichment_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: optional enrichment left join — missing dim rows yield NULL,
+    not a dropped fact (scival_id enrichment, oit_to_edw/person.py:219-228)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    return c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
+    ).select("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+
+
+@query(
+    "json_document_parse",
+    """
+    SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
+           CASE WHEN CAST(props->>'k' AS INTEGER) >= 50 THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def json_document_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: schema-on-read JSON document parse — ``from_json`` with an
+    explicit permissive schema (response.transform,
+    transformer_loaders/pure_api_internal_person.py:109-113)."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("doc", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("doc.k").alias("k"),
+        F.when(F.col("doc.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "state_fanout_pivot",
+    """
+    SELECT user_id,
+           max(ts) FILTER (WHERE event_type = 'signup')   AS signup_ts,
+           max(ts) FILTER (WHERE event_type = 'purchase') AS purchase_ts,
+           max(ts) FILTER (WHERE event_type = 'error')    AS error_ts,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def state_fanout_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: state → column-name fan-out — each known state materializes
+    its own column pair, others null (pub workflow states,
+    transformer_loaders/pure_api_pub.py:20-62).  max(when(state=k, v))
+    per state: a pivot without the pivot shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    def state_ts(s):
+        return F.max(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"{s}_ts")
+
+    return ev.groupBy("user_id").agg(
+        state_ts("signup"),
+        state_ts("purchase"),
+        state_ts("error"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function pack (F1/F4-F8/F11)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Unit tests for the LLM-data-pipeline pack: dedup recall, simhash
+determinism, similarity exactness, multimodal batch plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from experts_etl_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+from experts_etl_spark.llm.multimodal import (
+    decode_image,
+    extract_metadata,
+    fake_decode_features,
+    frame_sample,
+    with_binary_payload,
+)
+from experts_etl_spark.llm.similarity import brute_force_topk
+from experts_etl_spark.llm.text import lang_id, quality_score
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),      # exact dup
+    (3, "the quick brown fox jumps over the lazy cat today"),      # near dup
+    (4, "completely different words entirely unrelated content here now"),
+    (5, "ab"),                                                     # < 3 words
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_shingles_short_doc_empty(spark):
+    out = docs_df(spark).select("doc_id", shingles(F.col("text")).alias("sh"))
+    got = {r.doc_id: len(r.sh) for r in out.collect()}
+    assert got[5] == 0          # <3 words → no shingles
+    assert got[1] == 8          # 10 words → 8 tri-shingles
+
+
+def test_exact_dedup_groups_identical(spark):
+    out = exact_dedup(docs_df(spark), "text", "doc_id")
+    dup = [r for r in out.collect() if r.n_copies == 2]
+    assert len(dup) == 1 and dup[0].keeper_id == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), "text", "doc_id", 0.4)
+    got = {(r.id1, r.id2): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_candidates_include_true_dups(spark):
+    sigs = minhash_signatures(docs_df(spark), "text", "doc_id")
+    assert len([c for c in sigs.columns if c.startswith("h")]) == 16
+    cands = {(r.id1, r.id2) for r in lsh_candidates(sigs, "doc_id").collect()}
+    assert (1, 2) in cands          # identical docs always co-band
+    assert (1, 3) in cands          # 7/8 shared shingles → near-certain
+
+
+def test_simhash_deterministic_and_blocks(spark):
+    pairs = simhash_pairs(docs_df(spark), "text", "doc_id", max_hamming=10)
+    got = {(r.id1, r.id2): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0          # identical text → identical simhash
+    # determinism across invocations
+    again = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_pairs(docs_df(spark), "text", "doc_id", 10).collect()
+    }
+    assert got == again
+
+
+def test_lang_id_markers(spark):
+    rows = [(1, "the cat is on the mat"), (2, "der hund ist nicht da"),
+            (3, "xyzzy plugh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.p for r in df.select("doc_id", lang_id(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_bounded(spark):
+    out = docs_df(spark).select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_brute_force_topk_self_similarity(spark):
+    # Two identical vectors must be each other's top neighbor with cos 1.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.5]),
+        (2, [1.0, 0.0, 0.0, 0.5]),
+        (3, [-1.0, 0.2, 0.0, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = brute_force_topk(df, df, "vec_id", "embedding", 1)
+    got = {r.probe_id: (r.cand_id, r.cos) for r in out.collect()}
+    assert got[1] == (2, 1.0) and got[2] == (1, 1.0)
+    assert got[3][1] < 0
+
+
+def test_multimodal_metadata_matches_hashlib(spark):
+    assets = with_binary_payload(docs_df(spark), "text", "doc_id")
+    meta = {r.doc_id: r for r in extract_metadata(assets).collect()}
+    expect = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert meta[1].content_md5 == expect
+    assert meta[1].n_bytes == len(DOCS[0][1].encode())
+    assert meta[1].sniffed == "application/octet-stream"
+
+
+def test_frame_sample_counts(spark):
+    rows = [(1, "x" * 300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assets = with_binary_payload(df, "text", "doc_id")
+    r = frame_sample(assets, frame_size=64, every=4).collect()[0]
+    # 300 bytes → frames at offsets 0,64,128,192,256 → every 4th → offsets 0,256
+    assert r.n_frames == 2 and r.frame_bytes == 64 + 44
+
+
+def test_fake_decode_features_shape(spark):
+    assets = with_binary_payload(docs_df(spark), "text", "doc_id")
+    out = fake_decode_features(assets).collect()
+    assert all(len(r.features) == 4 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.features)
+
+
+def test_decode_image_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
