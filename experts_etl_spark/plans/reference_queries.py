@@ -19,12 +19,16 @@ from experts_etl_spark import functions as X
 from experts_etl_spark.operators import (
     compact_changes,
     dedupe_keep_best,
+    delete_cascade,
+    delete_merged_uuids,
     dim_lookup,
     elect_primary,
     existence_gate,
     latest_per_key,
     merge_upsert,
     override_join,
+    overwrite_children,
+    reconcile_sets,
     reference_entry,
     run_groups,
     sessionize,
@@ -1004,3 +1008,225 @@ def identity_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").cast("string"), F.col("c_nationkey").cast("string")
         ).alias("assoc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge / cascade pack (M5-M9, X3, P7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cascade_delete_children",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+    )
+    """,
+)
+def cascade_delete_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: multi-table delete cascade — parents deleted upstream drop
+    their child rows via one anti-join per child table
+    (extractor_loaders/pure_api_persons.py:53-76).  Customers with
+    negative balance play the deleted set; orders are the child table.
+    The deleted-key side is small → broadcast anti-join, no shuffle of
+    the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    deleted = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return delete_cascade(o, F.broadcast(deleted), ["o_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+@query(
+    "merged_uuid_cleanup",
+    """
+    WITH merged AS (
+      SELECT DISTINCT CAST(user_id * 3 AS BIGINT) AS c_custkey
+      FROM events WHERE event_type = 'signup'
+      UNION
+      SELECT DISTINCT CAST(user_id * 3 + 1 AS BIGINT)
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM merged)
+    """,
+)
+def merged_uuid_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: merged-record cleanup — incoming documents carry a
+    ``previousUuids`` array; any local record whose key appears in one is
+    deleted (extractor_loaders/pure_api_persons.py:78-82).  Signup events
+    synthesize the array; explode → distinct → broadcast anti-join."""
+    c = read_table(spark, sf_dir, "customer")
+    docs = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.array(
+                (F.col("user_id") * 3).cast("bigint"),
+                (F.col("user_id") * 3 + 1).cast("bigint"),
+            ).alias("previous_uuids")
+        )
+    )
+    return delete_merged_uuids(
+        c, docs, previous_uuids_col="previous_uuids", key="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "owner_reassignment",
+    """
+    SELECT o.o_orderkey,
+           CASE WHEN c.c_acctbal < 0 THEN (SELECT min(c_custkey) FROM customer)
+                ELSE o.o_custkey END AS owner_key
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def owner_reassignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: owner reassignment on parent delete — children owned by a
+    deleted org fall back to the root placeholder
+    (extractor_loaders/pure_api_organisational_units.py:56-65).
+    The root key is a scalar broadcast, not a driver collect-loop."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    root = c.agg(F.min("c_custkey").alias("root_key"))
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_acctbal")),
+               o.o_custkey == F.col("c_custkey"))
+        .crossJoin(F.broadcast(root))
+        .select(
+            "o_orderkey",
+            F.when(F.col("c_acctbal") < 0, F.col("root_key"))
+            .otherwise(F.col("o_custkey"))
+            .alias("owner_key"),
+        )
+    )
+
+
+@query(
+    "buffer_archival",
+    """
+    SELECT event_id, 'hst' AS tbl FROM events WHERE ts <= TIMESTAMP '2024-01-14'
+    UNION ALL
+    SELECT event_id, 'buf' AS tbl FROM events WHERE ts > TIMESTAMP '2024-01-14'
+    """,
+)
+def buffer_archival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: buffer → history archival — processed buffer rows are copied
+    to the ``_hst`` table then anti-joined out of the buffer
+    (changes_buffer_managers.py:23-44).  One pass computes both sides;
+    the union here is only to expose both outputs to the checker."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-14").cast("timestamp")
+    processed = ev.filter(F.col("ts") <= cutoff)
+    hst = processed.select("event_id", F.lit("hst").alias("tbl"))
+    buf = delete_cascade(ev, processed.select("event_id"), ["event_id"]).select(
+        "event_id", F.lit("buf").alias("tbl")
+    )
+    return hst.unionByName(buf)
+
+
+@query(
+    "set_reconciliation",
+    """
+    WITH cur AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts <= TIMESTAMP '2024-01-14'
+    ), des AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts > TIMESTAMP '2024-01-14'
+    )
+    SELECT user_id, event_type, 'add' AS action
+    FROM (SELECT * FROM des EXCEPT SELECT * FROM cur)
+    UNION ALL
+    SELECT user_id, event_type, 'delete' AS action
+    FROM (SELECT * FROM cur EXCEPT SELECT * FROM des)
+    """,
+)
+def set_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: id-set reconciliation — desired minus current → adds, current
+    minus desired → deletes; two anti-joins replace the per-entity Python
+    set math (transformer_loaders/pure_api_internal_person.py:163-173)."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-14").cast("timestamp")
+    cur = ev.filter(F.col("ts") <= cutoff).select("user_id", "event_type").distinct()
+    des = ev.filter(F.col("ts") > cutoff).select("user_id", "event_type").distinct()
+    to_add, to_delete = reconcile_sets(cur, des, ["user_id", "event_type"])
+    return to_add.withColumn("action", F.lit("add")).unionByName(
+        to_delete.withColumn("action", F.lit("delete"))
+    )
+
+
+@query(
+    "overwrite_child_sets",
+    """
+    WITH new_children AS (
+      SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_quantity * 2 AS DOUBLE) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    ), kept AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM new_children)
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_children,
+           CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM new_children)
+    GROUP BY l_orderkey
+    """,
+)
+def overwrite_child_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: delete-and-recreate child sets for touched parents
+    (transformer_loaders/pure_api_internal_person.py:282-302).  Urgent
+    orders get regenerated lineitems (qty doubled); untouched parents
+    keep theirs.  On a lake this is a partition overwrite of only the
+    touched parents."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("qty")
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    new_children = li.join(
+        F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey
+    ).select("l_orderkey", "l_linenumber", (F.col("qty") * 2).alias("qty"))
+    merged = overwrite_children(li, new_children, ["l_orderkey"])
+    return merged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.sum(F.col("qty").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+    )
+
+
+@query(
+    "type_whitelist",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+    FROM orders o
+    JOIN (VALUES ('O', '1-URGENT'), ('O', '2-HIGH'), ('F', '5-LOW'))
+         AS w(status, priority)
+      ON o.o_orderstatus = w.status AND o.o_orderpriority = w.priority
+    """,
+)
+def type_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: (type, subtype) whitelist — keep records whose pair appears in
+    a literal supported-types map
+    (extractor_loaders/pure_api_research_outputs.py:23-37).  The map is a
+    broadcast literal dim, so the scan filters without a shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    wl = spark.createDataFrame(
+        [("O", "1-URGENT"), ("O", "2-HIGH"), ("F", "5-LOW")],
+        ["status", "priority"],
+    )
+    return o.join(
+        F.broadcast(wl),
+        (o.o_orderstatus == wl.status) & (o.o_orderpriority == wl.priority),
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
