@@ -42,3 +42,8 @@ from experts_etl_spark.operators.errors import (  # noqa: F401
     with_error_id,
     upsert_error_counts,
 )
+from experts_etl_spark.operators.hierarchy import (  # noqa: F401
+    tree_closure,
+    prune_unreachable,
+    nested_set_labels,
+)

@@ -26,8 +26,10 @@ from experts_etl_spark.operators import (
     existence_gate,
     latest_per_key,
     merge_upsert,
+    nested_set_labels,
     override_join,
     overwrite_children,
+    prune_unreachable,
     reconcile_sets,
     reference_entry,
     run_groups,
@@ -35,6 +37,7 @@ from experts_etl_spark.operators import (
     snapshot_diff_keys,
     snapshot_diff_rows,
     split_stints,
+    tree_closure,
     upsert_error_counts,
     with_error_id,
     with_lead_end,
@@ -1230,3 +1233,118 @@ def type_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(wl),
         (o.o_orderstatus == wl.status) & (o.o_orderpriority == wl.priority),
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy pack (G1/G2) — customer keys form a synthetic org tree:
+# parent(k) = k DIV 10, root = 0.  Depth ~ log10(N): 4 at sf0.01.
+# ---------------------------------------------------------------------------
+
+@query(
+    "tree_depths",
+    """
+    WITH RECURSIVE t AS (
+      SELECT c_custkey AS node_id, 0 AS depth, c_custkey AS root_id
+      FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1, t.root_id
+      FROM customer c JOIN t ON (c.c_custkey // 10) = t.node_id
+      WHERE c.c_custkey <> 0
+    )
+    SELECT node_id, depth, root_id FROM t
+    """,
+)
+def tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: DFS/BFS over adjacency → (node, depth, root)
+    (transformer_loaders/pure_api_internal_org.py:117-134).  Iterative
+    frontier join: one broadcast join per tree level, not per node."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") == 0, F.lit(None))
+        .otherwise(F.expr("c_custkey DIV 10"))
+        .alias("parent_key"),
+    )
+    return tree_closure(
+        c, "c_custkey", "parent_key", is_root=F.col("c_custkey") == 0
+    )
+
+
+@query(
+    "tree_orphan_prune",
+    """
+    WITH RECURSIVE alive AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal >= 0 OR c_custkey = 0
+    ), t AS (
+      SELECT c_custkey AS node_id, 0 AS depth
+      FROM alive WHERE c_custkey = 0
+      UNION ALL
+      SELECT a.c_custkey, t.depth + 1
+      FROM alive a JOIN t ON (a.c_custkey // 10) = t.node_id
+      WHERE a.c_custkey <> 0
+    )
+    SELECT node_id FROM t
+    """,
+)
+def tree_orphan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 (delete side): drop whole subtrees that became unreachable
+    when interior nodes vanished
+    (transformer_loaders/pure_api_internal_org.py:190-199).  Stronger
+    than parent-exists: surviving grandchildren of a deleted node are
+    pruned too."""
+    c = read_table(spark, sf_dir, "customer")
+    alive = c.filter((F.col("c_acctbal") >= 0) | (F.col("c_custkey") == 0)).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") == 0, F.lit(None))
+        .otherwise(F.expr("c_custkey DIV 10"))
+        .alias("parent_key"),
+    )
+    return prune_unreachable(
+        alive, "c_custkey", "parent_key", is_root=F.col("c_custkey") == 0
+    ).select(F.col("c_custkey").alias("node_id"))
+
+
+@query(
+    "tree_nested_set",
+    """
+    WITH RECURSIVE t AS (
+      SELECT c_custkey AS node_id, 0 AS depth, printf('%012d', c_custkey) AS path
+      FROM customer WHERE c_custkey = 0
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1, t.path || '/' || printf('%012d', c.c_custkey)
+      FROM customer c JOIN t ON (c.c_custkey // 10) = t.node_id
+      WHERE c.c_custkey <> 0
+    ), pre AS (
+      SELECT node_id, depth, path,
+             row_number() OVER (ORDER BY path) AS preorder
+      FROM t
+    ), sz AS (
+      SELECT anc, count(*) AS subtree_size
+      FROM (SELECT unnest(string_split(path, '/')) AS anc FROM t)
+      GROUP BY anc
+    )
+    SELECT p.node_id, p.depth,
+           CAST(2 * p.preorder - p.depth - 1 AS BIGINT) AS lft,
+           CAST(2 * p.preorder - p.depth - 2 + 2 * s.subtree_size AS BIGINT) AS rgt
+    FROM pre p JOIN sz s ON printf('%012d', p.node_id) = s.anc
+    """,
+)
+def tree_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 (label side): recompute MPTT (lft, rgt) nested-set labels from
+    adjacency (transformer_loaders/pure_api_internal_org.py:136-188).
+    Preorder from lexicographic path order; subtree sizes from exploding
+    each node's root path (its ancestor chain) — linear, no quadratic
+    prefix join."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") == 0, F.lit(None))
+        .otherwise(F.expr("c_custkey DIV 10"))
+        .alias("parent_key"),
+    )
+    out = nested_set_labels(
+        c, "c_custkey", "parent_key", is_root=F.col("c_custkey") == 0
+    )
+    return out.select(
+        "node_id", "depth", F.col("lft").cast("bigint").alias("lft"),
+        F.col("rgt").cast("bigint").alias("rgt")
+    )
