@@ -1348,3 +1348,101 @@ def tree_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id", "depth", F.col("lft").cast("bigint").alias("lft"),
         F.col("rgt").cast("bigint").alias("rgt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Serialization pack (S7/F3/F13/F14) — see sources/serialization.py for
+# the single-file sink and the Jinja2 fidelity path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "xml_render",
+    """
+    WITH named AS (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+             c.c_name || CASE CAST(o.o_orderkey % 3 AS INTEGER)
+                           WHEN 0 THEN ' & co' WHEN 1 THEN ' <ltd>' ELSE '' END AS disp_name
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT o_orderkey,
+           '<order id="' || CAST(o_orderkey AS VARCHAR) || '" date="'
+             || strftime(o_orderdate, '%d-%m-%Y') || '"><customer>'
+             || replace(replace(replace(disp_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+             || '</customer><total>' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+             || '</total></order>' AS xml
+    FROM named
+    """,
+)
+def xml_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/F3 (native-column path): one XML element per row with
+    escaping and dd-MM-yyyy date formatting
+    (templates/person.xml.j2:36-38, edw_to_pure/person.py:45).  All
+    string expressions stay in whole-stage codegen; the Jinja2 UDF twin
+    in sources/serialization.py is for byte-parity needs only."""
+    from experts_etl_spark.sources.serialization import xml_escape
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    disp = F.concat(
+        F.col("c_name"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(" & co"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(" <ltd>"))
+        .otherwise(F.lit("")),
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", disp.alias("disp_name")
+    )
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" date="'),
+        F.date_format("o_orderdate", "dd-MM-yyyy"),
+        F.lit('"><customer>'),
+        xml_escape(F.col("disp_name")),
+        F.lit("</customer><total>"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("</total></order>"),
+    )
+    return joined.select("o_orderkey", xml.alias("xml"))
+
+
+@query(
+    "json_roundtrip",
+    """
+    SELECT event_id,
+           '{"k":' || CAST(CAST(props->>'k' AS INTEGER) AS VARCHAR) || '}' AS normalized
+    FROM events
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: parse→serialize round-trip normalizes raw JSON for the audit
+    log (loggers.py:20-26) — ``to_json(from_json(...))``."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.from_json("props", "k int")).alias("normalized"),
+    )
+
+
+@query(
+    "person_sync_xml",
+    """
+    SELECT c.c_custkey AS person_id,
+           '<person id="' || CAST(c.c_custkey AS VARCHAR) || '"><name>'
+           || replace(replace(replace(c.c_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '</name><jobs>'
+           || coalesce(string_agg('<job id="' || CAST(o.o_orderkey AS VARCHAR)
+                                  || '" start="' || strftime(o.o_orderdate, '%d-%m-%Y') || '"/>',
+                                  '' ORDER BY o.o_orderdate, o.o_orderkey), '')
+           || '</jobs></person>' AS xml
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/F14 pipeline head: persons ⟕ collect_list(jobs) → one nested
+    XML element per person (edw_to_pure/person.py:37-45 replaced the
+    per-person Python filter with one grouped join; SURVEY.md §3.4)."""
+    from experts_etl_spark.plans.xml_sync import person_sync_frame
+
+    return person_sync_frame(spark, sf_dir)

@@ -1,0 +1,126 @@
+"""XML serialization sinks (SURVEY.md §2.1 S7/S10, §2.7 F3/F13/F14).
+
+The reference renders one Jinja2-templated XML element per row and
+hand-writes header/footer around them into a single timestamped file
+(edw_to_pure/person.py:33-47, templates/person.xml.j2), then rotates
+old sync files keeping the newest N with a ``latest_X.xml`` symlink
+(sync_file_rotator.py:32-54).
+
+Two render paths:
+
+- **Native columns** (the hot path): escaping + element assembly with
+  built-in string expressions — stays inside whole-stage codegen, no
+  Python in the loop.  Use this for anything fact-sized.
+- **Jinja2 UDF** (the fidelity path, F14): evaluates a real template
+  per row for byte-parity with reference templates.  Python-priced;
+  acceptable for dim-sized sync sets, which is all the reference emits.
+
+The single-file sink streams partitions in order through
+``toLocalIterator`` — the driver holds one partition at a time, never
+the whole dataset, so "one ordered file" survives inputs much larger
+than driver memory.  (At true 100 TB you'd write per-range files and
+concatenate at the storage layer; the iterator contract is the same.)
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def xml_escape(col: Column) -> Column:
+    """Escape text content: & first, then < and > (commons.xsd text
+    fields; jinja2 autoescape in the reference, edw_to_pure/person.py:7-15)."""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def xml_element(tag: str, content: Column, escape: bool = True) -> Column:
+    """``<tag>content</tag>``; NULL content → empty element."""
+    body = xml_escape(content) if escape else content
+    return F.concat(
+        F.lit(f"<{tag}>"), F.coalesce(body, F.lit("")), F.lit(f"</{tag}>")
+    )
+
+
+def render_jinja_udf(template_source: str):
+    """F14: per-row Jinja2 render as a UDF (templates/person.xml.j2).
+
+    The template is compiled once per executor (lazy closure state), not
+    per row.  Returns a string-typed UDF taking a struct column.
+    """
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    state: dict = {}
+
+    def _render(row):
+        if "tmpl" not in state:
+            import jinja2
+
+            state["tmpl"] = jinja2.Environment(autoescape=True).from_string(
+                template_source
+            )
+        return state["tmpl"].render(**row.asDict())
+
+    return udf(_render, StringType())
+
+
+def write_single_xml(
+    df: DataFrame,
+    path: str,
+    xml_col: str,
+    order_by: Sequence[str],
+    header: str,
+    footer: str,
+    batch_partitions: int | None = None,
+) -> int:
+    """S7: ordered single-file XML sink (edw_to_pure/person.py:33-47).
+
+    Sorts globally, then streams partition-by-partition through
+    ``toLocalIterator`` so element order is the sort order and driver
+    memory stays bounded by one partition.  Returns the element count.
+    """
+    ordered = df.orderBy(*order_by).select(xml_col)
+    if batch_partitions:
+        ordered = ordered.coalesce(batch_partitions)
+    n = 0
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(header)
+        if not header.endswith("\n"):
+            fh.write("\n")
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            fh.write(row[0])
+            fh.write("\n")
+            n += 1
+        fh.write(footer)
+        if not footer.endswith("\n"):
+            fh.write("\n")
+    return n
+
+
+def rotate_sync_files(
+    directory: str, prefix: str, suffix: str = ".xml", keep: int = 5
+) -> list[str]:
+    """S10: keep the newest ``keep`` sync files for a prefix, delete the
+    rest, repoint ``latest_{prefix}{suffix}`` at the newest
+    (sync_file_rotator.py:32-54).  Newest = lexicographic max, because
+    filenames embed an ISO timestamp.  Pure driver-side utility."""
+    names = sorted(
+        f
+        for f in os.listdir(directory)
+        if f.startswith(prefix) and f.endswith(suffix) and not f.startswith("latest_")
+    )
+    doomed, kept = (names[:-keep], names[-keep:]) if keep else (names, [])
+    for f in doomed:
+        os.remove(os.path.join(directory, f))
+    if kept:
+        link = os.path.join(directory, f"latest_{prefix}{suffix}")
+        if os.path.islink(link) or os.path.exists(link):
+            os.remove(link)
+        os.symlink(kept[-1], link)
+    return kept
