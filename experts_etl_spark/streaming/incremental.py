@@ -1,0 +1,214 @@
+"""Incremental / streaming operators over the events table.
+
+``events`` plays the Pure changes feed (SURVEY.md §2.1 S3): each row is
+a change event ``(event_id, ts, user_id, event_type, value, props)``;
+``user_id`` plays the changed entity's uuid and ``event_id`` the
+monotonically increasing version.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def _events_schema(spark: SparkSession, src: str) -> StructType:
+    return spark.read.parquet(src).schema
+
+
+def stream_events(
+    spark: SparkSession, src: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S3 as a stream: file-source over parquet change files.  New files
+    landing under ``src`` are discovered exactly-once via the query
+    checkpoint — the reference's persisted ``max(downloaded)`` bookmark
+    (extractor_loaders/pure_api_changes.py:28-41) for free."""
+    reader = spark.readStream.schema(_events_schema(spark, src))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src)
+
+
+def run_incremental_consume(
+    spark: SparkSession,
+    src: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """C1-C5 as one streaming query: dedup by (uuid, version) →
+    per-micro-batch latest-version compaction → freshness-guarded merge
+    into the target parquet.
+
+    ``foreachBatch`` reuses the batch operators verbatim
+    (operators/cdc.py, operators/merge.py); ``availableNow`` drains all
+    pending files then stops — the reference's 4-hour daemon tick
+    (runner.py:171-174) without the daemon.
+    """
+    from experts_etl_spark.operators import compact_changes, merge_upsert
+
+    ev = stream_events(spark, src, max_files_per_trigger)
+    # C2/C3: idempotent ingest — state-store dedup on the natural key.
+    # WithinWatermark bounds the dedup state (replays older than the
+    # watermark are still rejected downstream by the merge freshness
+    # guard, the reference's own last line of defense, M4/C5).
+    deduped = ev.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+
+    def consume(batch: DataFrame, batch_id: int) -> None:
+        latest = compact_changes(batch, key="user_id", version_col="event_id")
+        spark_l = batch.sparkSession
+        if os.path.exists(target_dir) and os.listdir(target_dir):
+            target = spark_l.read.parquet(target_dir)
+            merged = merge_upsert(
+                target, latest.select(*target.columns), ["user_id"], "event_id"
+            )
+        else:
+            merged = latest
+        # M4: freshness-guarded merge; parquet rewrite stands in for
+        # MERGE INTO (SURVEY.md §4.2 — Delta unavailable in this image).
+        merged.write.mode("overwrite").parquet(target_dir + "_next")
+        spark_l.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(
+            target_dir
+        )
+
+    (
+        deduped.writeStream.foreachBatch(consume)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_counts_frame(ev: DataFrame) -> DataFrame:
+    """Tumbling event-time windows with late-data tolerance — the
+    streaming generalization the reference never had (SURVEY.md §2.10:
+    'watermark windows do not exist in the reference')."""
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession, src: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain ``src`` through the windowed aggregation into a memory sink;
+    returns the completed result as a batch DataFrame."""
+    q = (
+        windowed_counts_frame(stream_events(spark, src))
+        .writeStream.format("memory")
+        .queryName("windowed_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("windowed_counts")
+
+
+SESSION_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE = "last_ts timestamp, session_start timestamp, n_events bigint"
+
+
+def _session_fn(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            last_ts, session_start, n_events = state.get
+            last_ts, session_start = pd.Timestamp(last_ts), pd.Timestamp(session_start)
+        else:
+            last_ts = session_start = None
+            n_events = 0
+        closed = []
+        for ts in events["ts"]:
+            ts = pd.Timestamp(ts)
+            if last_ts is None:
+                session_start, n_events = ts, 1
+            elif ts - last_ts > gap:
+                closed.append((user_id, session_start, last_ts, n_events))
+                session_start, n_events = ts, 1
+            else:
+                n_events += 1
+            last_ts = ts
+        state.update((last_ts.to_pydatetime(), session_start.to_pydatetime(), n_events))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+
+    return fn
+
+
+def stateful_sessions_frame(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """W3's streaming twin: arbitrary-stateful sessionization with
+    ``applyInPandasWithState``.  The open session survives in the state
+    store across micro-batches; a session closes (and is emitted) when a
+    later event arrives more than ``gap_seconds`` after it ends —
+    exactly the stint-splitting contract of
+    oit_to_edw/affiliate_job.py:111-147 applied to an unbounded feed."""
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_sessions(
+    spark: SparkSession,
+    src: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Drain ``src`` (one file per micro-batch by default, to exercise
+    cross-batch state) and return every CLOSED session.
+
+    Unlike the consume/merge path (order-tolerant via the freshness
+    guard) and the windowed aggregation (order-tolerant via watermark),
+    sessionization state assumes files arrive in event-time order — the
+    file source's modification-time ordering.  Out-of-order feeds need
+    the watermarked window variant instead."""
+    ev = stream_events(spark, src, max_files_per_trigger).select(
+        "user_id", "ts"
+    )
+    q = (
+        stateful_sessions_frame(ev, gap_seconds)
+        .writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stateful_sessions")

@@ -1,0 +1,118 @@
+"""Structured Streaming pack: file-source CDC consume, watermarked
+tumbling windows, cross-batch stateful sessionization — each asserted
+equal to its batch twin (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from experts_etl_spark.operators import compact_changes, sessionize
+from experts_etl_spark.sources import read_table
+from experts_etl_spark.streaming import (
+    run_incremental_consume,
+    run_stateful_sessions,
+    run_windowed_counts,
+)
+from tests.conftest import SF_SMOKE
+
+GAP = 1800
+
+
+@pytest.fixture(scope="module")
+def events_feed_dir(spark, tmp_path_factory):
+    """The events table split into 3 time-ordered parquet files — a
+    change feed arriving in batches."""
+    d = tmp_path_factory.mktemp("events_feed")
+    ev = read_table(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") > bounds[i]) if i else (F.col("ts") >= bounds[i])
+        ).filter(F.col("ts") <= bounds[i + 1])
+        part.coalesce(1).write.parquet(str(d / f"batch_{i}"))
+    # flatten: file source wants files under one dir
+    import glob
+    import shutil
+
+    out = tmp_path_factory.mktemp("events_files")
+    for i, f in enumerate(sorted(glob.glob(str(d / "batch_*" / "*.parquet")))):
+        dst = out / f"events_{i}.parquet"
+        shutil.copy(f, dst)
+        # The file source picks micro-batches in modification-time order;
+        # same-second copies would arrive in undefined order. Real change
+        # feeds land with increasing mtimes — pin that here.
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(out)
+
+
+def test_incremental_consume_matches_batch_compaction(
+    spark, events_feed_dir, tmp_path
+):
+    target = str(tmp_path / "target")
+    run_incremental_consume(
+        spark,
+        events_feed_dir,
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(target).select("user_id", "event_id").collect()
+    }
+    batch = compact_changes(
+        read_table(spark, SF_SMOKE, "events"), "user_id", "event_id"
+    )
+    want = {(r.user_id, r.event_id) for r in batch.select("user_id", "event_id").collect()}
+    assert got == want
+
+
+def test_windowed_counts_match_batch(spark, events_feed_dir, tmp_path):
+    got = run_windowed_counts(
+        spark, events_feed_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    want = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stateful_sessions_survive_micro_batches(spark, events_feed_dir, tmp_path):
+    """Closed sessions from the stream (1 file per micro-batch) must
+    equal the batch sessionization minus each user's final (still-open)
+    session."""
+    got = run_stateful_sessions(
+        spark,
+        events_feed_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gap_seconds=GAP,
+    )
+    ev = read_table(spark, SF_SMOKE, "events")
+    sess = sessionize(ev, ["user_id"], "ts", GAP)
+    batch = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    last = batch.groupBy("user_id").agg(F.max("session_id").alias("session_id"))
+    closed_batch = batch.join(last, ["user_id", "session_id"], "left_anti")
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed_batch.collect()
+    )
+    have = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    )
+    assert have == want
+    assert len(have) > 0
