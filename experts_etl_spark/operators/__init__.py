@@ -47,3 +47,8 @@ from experts_etl_spark.operators.hierarchy import (  # noqa: F401
     prune_unreachable,
     nested_set_labels,
 )
+from experts_etl_spark.operators.skew import (  # noqa: F401
+    with_salt,
+    salted_join,
+    two_stage_agg,
+)

@@ -1446,3 +1446,122 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.plans.xml_sync import person_sync_frame
 
     return person_sync_frame(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Skew pack — same answers as the naive plans, skew-proof physical shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_tolerant_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_tolerant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (⇒ maximally
+    skewed) key: partial agg on (key, salt) spreads each hot key over 16
+    reducers, final agg recombines.  Values are identical to the naive
+    groupBy — only the physical shuffle shape changes."""
+    from experts_etl_spark.operators import two_stage_agg
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(12,2)")
+    )
+    out = two_stage_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value": ("value_dec", "sum"),
+            "last_ts": ("ts", "max"),
+        },
+        unique_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "last_ts",
+    )
+
+
+@query(
+    "salted_dim_join",
+    """
+    SELECT o.o_orderkey, n.n_name AS nation_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join: customers keyed by 25 nations (hot keys by
+    construction) join the nation dim with the dim exploded across 16
+    salt buckets.  For a true dim this size broadcast wins — the query
+    exists to pin the salting rewrite's correctness against the plain
+    plan."""
+    from experts_etl_spark.operators import salted_join
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_nationkey").alias("n_nationkey")
+    )
+    out = salted_join(
+        oc, n, on=["n_nationkey"], fact_unique_col="o_orderkey", how="inner"
+    )
+    return out.select("o_orderkey", F.col("n_name").alias("nation_name"))
+
+
+@query(
+    "required_fields_gate",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE ts END AS ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts FROM ev
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def required_fields_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: reject change events missing any required field — a
+    conjunction of isNotNull predicates, pushed into the scan
+    (extractor_loaders/pure_api_changes.py:43-47).  Nulls are synthesized
+    since the clean feed has none."""
+    ev = read_table(spark, sf_dir, "events")
+    nulled = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 11 != 0, F.col("event_type")).alias("event_type"),
+        F.when(F.col("event_id") % 13 != 0, F.col("ts")).alias("ts"),
+    )
+    return nulled.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
+@query(
+    "slug_normalize",
+    """
+    SELECT p_partkey,
+           lower(regexp_replace(p_type, '[^a-zA-Z]+', '', 'g')) AS type_slug
+    FROM part
+    """,
+)
+def slug_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: lowercase + strip non-alpha ('non-academic' → 'nonacademic',
+    transformer_loaders/pure_api_internal_person.py:256-263)."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select("p_partkey", X.slug(F.col("p_type")).alias("type_slug"))
