@@ -28,6 +28,15 @@ HEADLINE = [
     "cdc_compaction",
     "override_coalesce",
     "multi_format_dates",
+    # hierarchy / serialization / skew packs
+    "tree_depths",
+    "person_sync_xml",
+    "skew_tolerant_counts",
+    # LLM-data pipeline pack
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bucketed",
+    "text_quality_metrics",
 ]
 
 

@@ -18,7 +18,19 @@ from pyspark.sql import functions as F
 from experts_etl_spark.llm.text import fingerprint, words
 
 N_MINHASH = 16
-BAND_ROWS = 4  # 16 hashes → 4 bands of 4 rows
+# 16 hashes → 8 bands of 2 rows.  LSH threshold ≈ (1/b)^(1/r) = 0.35,
+# sized for the 0.5-Jaccard verify cutoff: recall at J=0.5 is
+# 1−(1−0.5²)⁸ ≈ 0.90 and ≈ 1.0 by J=0.7.  4×4 banding (threshold 0.71)
+# silently drops half the true 0.5-level near-dups.
+BAND_ROWS = 2
+
+# Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
+# single md5-derived base hash per shingle.  One md5 per shingle instead
+# of N_MINHASH of them — the md5+hex→int conversion is ~50× the cost of
+# the affine mix.  31-bit prime keeps a·x inside int64 in any engine.
+P31 = (1 << 31) - 1
+MINHASH_A = [((i + 1) * 2654435761) % P31 for i in range(N_MINHASH)]
+MINHASH_B = [((i + 1) * 40503) % P31 for i in range(N_MINHASH)]
 
 
 def hex60(col: Column) -> Column:
@@ -52,12 +64,32 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exploded (id, shingle) pairs — the blocked join key for Jaccard
-    and the input to MinHash."""
-    return df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+def doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the blocked join key for Jaccard
+    and the input to MinHash.
+
+    Set-based formulation: posexplode the words, then ``lead()`` over
+    (doc, position) assembles each n-gram — one window, whole-stage
+    codegen throughout.  The array/HOF formulation (:func:`shingles`)
+    looks natural but Catalyst's projection collapse inlines the word
+    split into every ``element_at`` reference, re-running the split per
+    shingle position — quadratic per document.  Keep the column version
+    for small per-row uses; route corpus-scale paths through here."""
+    from pyspark.sql import Window
+
+    wdf = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
     )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    sh = wdf.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("_tail"),
+    )
+    return sh.filter(F.col("_tail").isNotNull()).drop("_tail").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -97,14 +129,16 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH
 ) -> DataFrame:
-    """MinHash signature: per doc, min over shingles of h_i(shingle),
-    h_i = hex60(md5('i:' || shingle)).  One exploded aggregation, no UDF."""
+    """MinHash signature: per doc, min over shingles of
+    h_i(x) = (a_i·x + b_i) mod P, x = md5-low-60-bits(shingle) mod P.
+    One exploded aggregation, one md5 per shingle, no UDF."""
     sh = doc_shingles(df, text_col, id_col)
+    shx = sh.select(F.col(id_col), (hex60(F.col("shingle")) % P31).alias("x"))
     aggs = [
-        F.min(hex60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return shx.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidates(
@@ -147,10 +181,30 @@ def minhash_lsh_dedup(
     df: DataFrame, text_col: str, id_col: str, threshold: float
 ) -> DataFrame:
     """MinHash→LSH→verify: candidates from banding, then exact Jaccard
-    verification of candidates only (the classic two-phase near-dedup)."""
+    scored on the CANDIDATE PAIRS ONLY — two hash joins on doc id plus an
+    ``array_intersect`` of the two shingle sets.  Cost is linear in the
+    candidate count; the full shingle-blocked self-join
+    (:func:`ngram_jaccard_pairs`) is the exact-but-quadratic-ish baseline
+    LSH exists to avoid."""
     cands = lsh_candidates(minhash_signatures(df, text_col, id_col), id_col)
-    verified = ngram_jaccard_pairs(df, text_col, id_col, threshold)
-    return cands.join(verified, on=["id1", "id2"], how="inner").select(
+    sets = (
+        doc_shingles(df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    b = sets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    scored = (
+        cands.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
         "id1", "id2", "jaccard"
     )
 

@@ -200,22 +200,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
 
 
+from experts_etl_spark.llm.dedup import (  # noqa: E402
+    BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    N_MINHASH,
+    P31,
+)
+
 _MINHASH_COLS = ",\n".join(
-    f"min(CAST(concat('0x', substr(md5(concat('{i}:', shingle)), 1, 15)) AS BIGINT)) AS h{i}"
-    for i in range(16)
+    f"min((x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {P31}) AS h{i}"
+    for i in range(N_MINHASH)
+)
+_SHINGLE_X = (
+    "SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)"
+    f" % {P31} AS x FROM sh"
 )
 _BANDS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {bi} AS band_idx, md5(concat_ws(',', "
-    + ", ".join(f"CAST(h{bi*4+j} AS VARCHAR)" for j in range(4))
+    + ", ".join(
+        f"CAST(h{bi * BAND_ROWS + j} AS VARCHAR)" for j in range(BAND_ROWS)
+    )
     + ")) AS band_key FROM sigs"
-    for bi in range(4)
+    for bi in range(N_MINHASH // BAND_ROWS)
 )
 
 @query(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS ({_SHINGLES}),
-    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -229,8 +244,9 @@ _BANDS = "\nUNION ALL\n".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 md5-derived hashes) → LSH banding (4×4) → exact
-    Jaccard verification of candidates only."""
+    """MinHash (universal-hash family over one md5 base hash per
+    shingle) → LSH banding (4×4) → exact Jaccard scored on candidate
+    pairs only."""
     d = read_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(d, "text", "doc_id", 0.5)
 

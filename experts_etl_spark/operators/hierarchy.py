@@ -87,7 +87,11 @@ def tree_closure(
             ).select(*step_cols)
         )
         if checkpoint:
-            frontier = frontier.localCheckpoint(eager=True)
+            # Frontiers are tree levels — tiny next to the fact tables.
+            # Coalescing before the eager checkpoint keeps the per-level
+            # job at a handful of tasks instead of one per adjacency
+            # partition (the loop runs `depth` jobs back-to-back).
+            frontier = frontier.coalesce(8).localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
         out.append(frontier)

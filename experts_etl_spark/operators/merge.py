@@ -34,9 +34,20 @@ def merge_upsert(
     inserts.  Equivalent to Delta's
     ``WHEN MATCHED AND s.modified > t.modified THEN UPDATE``.
 
-    Set-at-a-time: decide winners with a join, rebuild the table as
-    (kept targets) ∪ (winning sources).  Both sides must share a schema.
+    Set-at-a-time, single-pass: tag both sides, union, and pick one row
+    per key with a window ordered (freshness DESC NULLS LAST, target
+    first on ties).  Ties go to the target — that IS the strict-``>``
+    guard — and a NULL source freshness always loses to a non-null
+    target.  Each input is referenced exactly ONCE in the plan; the
+    anti-join formulation read the target twice and the source twice,
+    which at fact scale means re-scanning (or re-shuffling) both
+    tables twice.  Precondition: the target is keyed (≤1 row per key),
+    which M4's per-PK ORM upsert guarantees.
+
+    Both sides must share a schema.
     """
+    from pyspark.sql import Window
+
     cols = target.columns
     key_list = list(keys)
     if freshness_col is None:
@@ -44,19 +55,20 @@ def merge_upsert(
         kept = target.join(winners.select(*key_list).distinct(), key_list, "left_anti")
         return kept.unionByName(winners)
 
-    t_fresh = target.select(
-        *key_list, F.col(freshness_col).alias("_t_fresh")
+    tagged = target.select(*cols, F.lit(1).alias("_is_target")).unionByName(
+        source.select(*cols, F.lit(0).alias("_is_target"))
     )
-    winners = (
-        source.join(t_fresh, key_list, "left")
-        .filter(
-            F.col("_t_fresh").isNull()
-            | (F.col(freshness_col) > F.col("_t_fresh"))
-        )
+    w = Window.partitionBy(*key_list).orderBy(
+        F.col(freshness_col).desc_nulls_last(),
+        F.col("_is_target").desc(),
+        # deterministic pick among exactly-tied source duplicates
+        F.xxhash64(F.struct(*cols)),
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(*cols)
     )
-    kept = target.join(winners.select(*key_list).distinct(), key_list, "left_anti")
-    return kept.unionByName(winners)
 
 
 def delete_cascade(
