@@ -1,0 +1,66 @@
+"""Lake sinks: dynamic partition overwrite semantics and the
+zero-exchange bucketed join (SURVEY.md §2.8 M1/M5 at scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from experts_etl_spark.sources import read_table
+from experts_etl_spark.sources.sinks import (
+    overwrite_partitions,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    write_partitioned(ev, path, ["event_type"])
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # Rebuild ONLY the 'click' partition with a single synthetic row
+    one = spark.createDataFrame([(999_999, 1, "click")], ["event_id", "user_id", "event_type"])
+    overwrite_partitions(one, path, ["event_type"])
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(path).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert after["click"] == 1
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k]
+    # static overwrite mode must be restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert wh  # managed tables need a warehouse; session default is fine
+    ev = read_table(spark, SF_SMOKE, "events")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    write_bucketed(agg, "b_agg", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+    write_bucketed(latest, "b_latest", ["user_id"], n_buckets=8, sort_cols=["user_id"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_agg").join(spark.table("b_latest"), "user_id")
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "simple"
+            )
+            assert "Exchange" not in plan, plan
+            # and the join is still correct
+            n = joined.count()
+            assert n == agg.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_agg")
+        spark.sql("DROP TABLE IF EXISTS b_latest")
