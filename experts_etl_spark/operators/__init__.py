@@ -36,6 +36,7 @@ from experts_etl_spark.operators.cdc import (  # noqa: F401
     watermark,
     compact_changes,
     filter_new_versions,
+    split_actions,
     archive_processed,
 )
 from experts_etl_spark.operators.errors import (  # noqa: F401

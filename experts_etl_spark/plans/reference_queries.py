@@ -1565,3 +1565,53 @@ def slug_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformer_loaders/pure_api_internal_person.py:256-263)."""
     p = read_table(spark, sf_dir, "part")
     return p.select("p_partkey", X.slug(F.col("p_type")).alias("type_slug"))
+
+
+# ---------------------------------------------------------------------------
+# CDC end-to-end cycle (SURVEY.md §3.3) — plans/cdc_pipeline.py
+# ---------------------------------------------------------------------------
+
+@query(
+    "cdc_end_to_end",
+    """
+    WITH hist AS (
+      SELECT user_id, event_id, ts, event_type, value
+      FROM events WHERE ts <= TIMESTAMP '2024-01-14'
+    ), target AS (
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM hist) WHERE rn = 1
+    ), incoming AS (
+      SELECT user_id, event_id, ts, event_type, value
+      FROM events WHERE ts > TIMESTAMP '2024-01-14' AND event_type <> 'view'
+    ), guarded AS (
+      SELECT i.* FROM incoming i
+      LEFT JOIN (SELECT user_id, max(event_id) AS mv FROM hist GROUP BY user_id) h
+        USING (user_id)
+      WHERE h.mv IS NULL OR i.event_id > h.mv
+    ), compacted AS (
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM guarded) WHERE rn = 1
+    ), kept AS (
+      SELECT t.* FROM target t
+      WHERE t.user_id NOT IN (SELECT user_id FROM compacted WHERE event_type = 'error')
+    ), merged AS (
+      SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC, is_target DESC) AS rn
+        FROM (SELECT *, 1 AS is_target FROM kept
+              UNION ALL
+              SELECT *, 0 AS is_target FROM compacted WHERE event_type <> 'error')
+      ) WHERE rn = 1
+    )
+    SELECT * FROM merged
+    """,
+)
+def cdc_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 one-cycle composition: gates → version guard → compaction →
+    DELETE cascade / freshness merge, as a single Catalyst plan (see
+    plans/cdc_pipeline.py for the operator chain)."""
+    from experts_etl_spark.plans.cdc_pipeline import consume_cycle
+
+    return consume_cycle(spark, sf_dir)

@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the invariant-heavy operators —
+the reference only has golden fixtures (SURVEY.md §5.1: 'no
+property-based tests'); these guard the set-based re-derivations on
+adversarial inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from experts_etl_spark.operators import (
+    elect_primary,
+    merge_upsert,
+    run_groups,
+    sessionize,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+entries = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # entity
+        st.integers(0, 50),         # seq (may collide; unique id added below)
+        st.sampled_from(["a", "b", "c"]),  # state
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(entries)
+@SET
+def test_run_groups_invariants(spark, rows):
+    df = spark.createDataFrame(
+        [(e, s, st_, i) for i, (e, s, st_) in enumerate(rows)],
+        ["entity", "seq", "state", "uid"],
+    )
+    out = run_groups(df, ["entity"], ["seq", "uid"], ["state"]).collect()
+    by_entity: dict = {}
+    for r in sorted(out, key=lambda r: (r.entity, r.seq, r.uid)):
+        by_entity.setdefault(r.entity, []).append(r)
+    for ent, rs in by_entity.items():
+        # group ids start at 1, are non-decreasing, step by ≤1 (dense)
+        gids = [r.group_id for r in rs]
+        assert gids[0] == 1
+        assert all(0 <= b - a <= 1 for a, b in zip(gids, gids[1:]))
+        # id increments exactly when the state changes
+        for prev, cur in zip(rs, rs[1:]):
+            assert (cur.group_id == prev.group_id) == (cur.state == prev.state)
+
+
+@given(entries)
+@SET
+def test_elect_primary_exactly_one(spark, rows):
+    df = spark.createDataFrame(
+        [(e, s, st_, i) for i, (e, s, st_) in enumerate(rows)],
+        ["entity", "seq", "state", "uid"],
+    )
+    pri = F.when(F.col("state") == "a", 0).when(F.col("state") == "b", 1).otherwise(2)
+    out = elect_primary(df, ["entity"], pri, [F.col("seq"), F.col("uid")])
+    counts = {
+        r.entity: r.n
+        for r in out.filter("primary").groupBy("entity").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    entities = {e for e, _, _ in rows}
+    assert counts == {e: 1 for e in entities}
+    # the winner is from the best available priority class
+    best = {}
+    for e, s, st_ in rows:
+        p = {"a": 0, "b": 1, "c": 2}[st_]
+        best[e] = min(best.get(e, 9), p)
+    for r in out.filter("primary").collect():
+        assert {"a": 0, "b": 1, "c": 2}[r.state] == best[r.entity]
+
+
+versions = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 20)), min_size=1, max_size=30
+)
+
+
+@given(versions, versions)
+@SET
+def test_merge_upsert_freshness_and_idempotence(spark, tgt_rows, src_rows):
+    # target must be keyed: keep max version per key
+    tgt_latest: dict = {}
+    for k, v in tgt_rows:
+        tgt_latest[k] = max(tgt_latest.get(k, -1), v)
+    target = spark.createDataFrame(list(tgt_latest.items()), ["k", "v"])
+    source = spark.createDataFrame(src_rows, ["k", "v"])
+    merged = merge_upsert(target, source, ["k"], freshness_col="v")
+    got = {r.k: r.v for r in merged.collect()}
+    want = dict(tgt_latest)
+    for k, v in src_rows:
+        if v > want.get(k, -1):
+            want[k] = v
+    assert got == want
+    # applying the same source again changes nothing (idempotence)
+    again = merge_upsert(merged, source, ["k"], freshness_col="v")
+    assert {r.k: r.v for r in again.collect()} == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000)), min_size=1, max_size=30))
+@SET
+def test_sessionize_gap_property(spark, rows):
+    GAP = 100
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)], ["k", "t_s", "uid"]
+    ).select("k", F.timestamp_seconds("t_s").alias("ts"), "uid")
+    out = sessionize(df, ["k"], "ts", GAP).collect()
+    by_key: dict = {}
+    for r in sorted(out, key=lambda r: (r.k, r.ts)):
+        by_key.setdefault(r.k, []).append(r)
+    for rs in by_key.values():
+        assert rs[0].session_id == 1
+        for prev, cur in zip(rs, rs[1:]):
+            gap = (cur.ts - prev.ts).total_seconds()
+            if gap > GAP:
+                assert cur.session_id == prev.session_id + 1
+            else:
+                assert cur.session_id == prev.session_id
