@@ -377,3 +377,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas; real codecs stubbed per llm/multimodal.py)."""
     d = read_table(spark, sf_dir, "documents")
     return frame_sample(with_binary_payload(d, "text", "doc_id"))
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH n AS ({_NEMB}),
+    cents AS (
+      SELECT vec_id AS cent_id, q AS centq, n2 AS centn2 FROM n
+      WHERE vec_id % 37 = 0
+    ),
+    cand_assign AS (
+      SELECT vec_id AS cand_id, q AS cq, n2 AS cn2, cent_id FROM (
+        SELECT e.*, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, c.centq) / sqrt(e.n2 * c.centn2) DESC,
+                          c.cent_id) AS rn
+        FROM n e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe_assign AS (
+      SELECT vec_id AS probe_id, q AS pq, n2 AS pn2, cent_id FROM (
+        SELECT e.*, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, c.centq) / sqrt(e.n2 * c.centn2) DESC,
+                          c.cent_id) AS rn
+        FROM n e CROSS JOIN cents c
+        WHERE e.vec_id < 16
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.cand_id,
+             list_dot_product(p.pq, a.cq) / sqrt(p.pn2 * a.cn2) AS cos
+      FROM cand_assign a JOIN probe_assign p USING (cent_id)
+      WHERE p.probe_id <> a.cand_id
+    )
+    SELECT probe_id, cand_id, rank, cos FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse centroids (corpus sample), cell
+    assignment by broadcast argmax, nprobe=2 probing, exact cosine
+    within probed cells (llm/similarity.py:ivf_topk)."""
+    from experts_etl_spark.llm.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    return ivf_topk(e, probes, "vec_id", "embedding", k=3)

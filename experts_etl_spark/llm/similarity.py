@@ -112,6 +112,74 @@ def bucketed_near_dup(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroid_stride: int = 37,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    search only the probe's ``nprobe`` nearest cells.
+
+    Centroids are a deterministic corpus sample (``id % stride == 0``) —
+    no trained k-means dependency, reproducible across engines; swap in
+    trained centroids without touching the plan.  Cell assignment is a
+    broadcast argmax over the centroid set (corpus never shuffles for
+    assignment); the candidate join shuffles on the cell id only.
+    Recall improves with ``nprobe`` at linear cost — the classic IVF
+    knob."""
+    cents = with_quantized(
+        emb.filter(F.col(id_col) % centroid_stride == 0), vec_col
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("_q").alias("centq"),
+        F.col("_n2").alias("centn2"),
+    )
+
+    def nearest_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents)).withColumn(
+            "_ccos",
+            cosine(dot(F.col("_q"), F.col("centq")), F.col("_n2"), F.col("centn2")),
+        )
+        w = Window.partitionBy(sid).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n)
+            .drop("centq", "centn2", "_ccos", "_crn")
+        )
+
+    cand_q = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("_q"), F.col("_n2")
+    )
+    cand_cells = nearest_cells(cand_q, "cand_id", 1).select(
+        "cand_id", F.col("_q").alias("cq"), F.col("_n2").alias("cn2"), "cent_id"
+    )
+    probe_q = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"), F.col("_q"), F.col("_n2")
+    )
+    probe_cells = nearest_cells(probe_q, "probe_id", nprobe).select(
+        "probe_id", F.col("_q").alias("pq"), F.col("_n2").alias("pn2"), "cent_id"
+    )
+    scored = (
+        cand_cells.join(F.broadcast(probe_cells), on="cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn(
+            "cos", cosine(dot(F.col("pq"), F.col("cq")), F.col("pn2"), F.col("cn2"))
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "rank", "cos")
+        # a candidate reachable via 2 probed cells can't duplicate: cells
+        # partition the corpus (each candidate assigned to exactly one)
+    )
+
+
 def bucketed_ann_topk(
     emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str, k: int,
     bits: int = 8,
