@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of
+the contract at 100 TB (SURVEY.md §4.2).  Each assertion pins a scale
+property that correctness tests can't see — a broadcast that silently
+becomes a shuffle, a pushdown that stops reaching the scan, a second
+exchange sneaking into a window pipeline."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+from experts_etl_spark.plans.flagship import person_assembly
+from tests.conftest import SF_SMOKE
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    # "simple" keeps one line per operator (formatted repeats each node in
+    # a detail section, double-counting scans) and shows the `*(n)`
+    # whole-stage-codegen markers.
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def shuffles(plan: str) -> int:
+    # broadcast exchanges are not shuffles; count only hash/range exchanges
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    for name in ["customers_per_nation", "enrichment_left_join", "dim_lookup_quarantine"]:
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF_SMOKE), "formatted")
+    # filter reaches the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # ...and the scan reads only the 7 needed columns, not all 11
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 7, m.group(1)
+
+
+def test_window_pipelines_single_shuffle(spark):
+    """W2/W8/A4/sessionize share one partitioning: exactly one shuffle."""
+    for name in [
+        "event_run_groups",
+        "latest_event_per_user",
+        "user_sessions",
+        "primary_event_election",
+    ]:
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert shuffles(plan) == 1, f"{name}: {shuffles(plan)} shuffles"
+
+
+def test_flagship_single_shuffle_and_codegen(spark):
+    df = person_assembly(spark, SF_SMOKE)
+    assert shuffles(plan_of(df)) == 1
+    # Under AQE the whole plan hides in AdaptiveSparkPlan until runtime
+    # and reports 0 codegen subtrees pre-execution; plan once without AQE
+    # to assert stages actually compile.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cg = plan_of(person_assembly(spark, SF_SMOKE), "codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+        assert m and int(m.group(1)) >= 1, cg[:200]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_merge_upsert_reads_each_input_once(spark):
+    """The single-pass merge rewrite: the events file appears exactly
+    twice (target derivation + source derivation), not five times."""
+    plan = plan_of(QUERIES["merge_upsert_freshness"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Nothing in the registry may plan a cartesian/broadcast-nested-loop
+    join over two fact inputs.  (BroadcastNestedLoopJoin is tolerated
+    only for non-equi probe joins against a broadcast side — the ANN
+    brute-force probe and the scalar-root cross join.)"""
+    allowed_bnlj = {
+        "ann_topk_bruteforce",   # probe set broadcast against the corpus
+        "owner_reassignment",    # scalar root key broadcast
+        "embedding_near_dup",    # exact all-pairs baseline (bucketed twin exists)
+        "ann_topk_ivf",          # centroid set broadcast for cell assignment
+    }
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
