@@ -26,6 +26,7 @@ HEADLINE = [
     "merge_upsert_freshness",
     "snapshot_new_keys",
     "cdc_compaction",
+    "cdc_end_to_end",
     "override_coalesce",
     "multi_format_dates",
     # hierarchy / serialization / skew packs

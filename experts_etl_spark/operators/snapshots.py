@@ -44,20 +44,24 @@ def snapshot_diff_rows(
 
     ``latest_per_key`` (window, ordered by ``history_order`` — a total
     order, e.g. timestamp desc + unique id desc) replaces the correlated
-    subquery; the MINUS is an ``exceptAll`` on the compared projection
-    re-joined to the current rows so the output keeps every current
-    column.
+    subquery; the MINUS is a null-safe LEFT ANTI join on
+    (keys ∪ compare_cols) — NULLs compare equal, exactly like SQL
+    EXCEPT.  Precondition: ``current`` is a keyed snapshot (≤1 row per
+    key), which makes anti-join ≡ EXCEPT and lets the plan reference
+    ``current`` exactly once (the exceptAll + semi-join-back formulation
+    scans the current side twice).
     """
     latest_hist = latest_per_key(
         history, keys, history_order
-    ).select(*keys, *compare_cols)
-    changed_keys = (
-        current.select(*keys, *compare_cols)
-        .exceptAll(latest_hist)
-        .select(*keys)
-        .distinct()
+    ).select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys],
+        *[F.col(c).alias(f"_h_{c}") for c in compare_cols],
     )
-    return current.join(changed_keys, on=list(keys), how="left_semi")
+    cond = None
+    for c in [*keys, *compare_cols]:
+        clause = F.col(c).eqNullSafe(F.col(f"_h_{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return current.join(latest_hist, cond, "left_anti")
 
 
 def history_append(
