@@ -150,21 +150,24 @@ def lsh_candidates(
     size."""
     h_cols = [c for c in signatures.columns if c.startswith("h")]
     n_bands = len(h_cols) // band_rows
-    bands = []
+    # One exploded array of (band_idx, band_key) structs, NOT a union of
+    # n_bands projections: a union references the signature subtree once
+    # per band and the self-join doubles that — 2·n_bands copies of the
+    # aggregation in one plan.  Explode keeps it at one per join side.
+    band_structs = []
     for bi in range(n_bands):
         chunk = h_cols[bi * band_rows : (bi + 1) * band_rows]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(bi).alias("band_idx"),
-                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in chunk])).alias(
-                    "band_key"
-                ),
+                F.md5(
+                    F.concat_ws(",", *[F.col(c).cast("string") for c in chunk])
+                ).alias("band_key"),
             )
         )
-    stacked = bands[0]
-    for bdf in bands[1:]:
-        stacked = stacked.unionByName(bdf)
+    stacked = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_b.band_idx", "_b.band_key")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -248,17 +251,21 @@ def simhash_pairs(
     hamming distance 3 of 64 bits share at least one of 4 chunks —
     pigeonhole), verify hamming via bit_count(xor)."""
     sig = df.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sig"))
-    chunks = None
-    for ci in range(4):
-        part = sig.select(
-            F.col(id_col),
-            F.col("sig"),
+    # Explode (chunk_idx, chunk_key) structs instead of unioning 4
+    # projections — a union would evaluate the pandas-UDF signature once
+    # per chunk per join side (8× the Python cost).
+    chunk_structs = [
+        F.struct(
             F.lit(ci).alias("chunk_idx"),
-            F.shiftrightunsigned(F.col("sig"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                "chunk_key"
-            ),
+            F.shiftrightunsigned(F.col("sig"), ci * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("chunk_key"),
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
+        for ci in range(4)
+    ]
+    chunks = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select(id_col, "sig", "_c.chunk_idx", "_c.chunk_key")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (
