@@ -19,6 +19,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "pricing_summary",
+    "person_360",
     "event_run_groups",
     "primary_event_election",
     "latest_event_per_user",

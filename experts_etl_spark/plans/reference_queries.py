@@ -1615,3 +1615,110 @@ def cdc_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.plans.cdc_pipeline import consume_cycle
 
     return consume_cycle(spark, sf_dir)
+
+
+@query(
+    "person_360",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM ordered
+    ), jobs AS (
+      SELECT user_id, group_id, min(event_type) AS job_type, min(ts) AS start_ts
+      FROM grp GROUP BY user_id, group_id
+    ), elected AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY
+          CASE job_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                        WHEN 'view' THEN 3 WHEN 'click' THEN 4 ELSE 5 END,
+          start_ts, group_id) AS rn
+      FROM jobs
+    ), person AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_jobs,
+             max(CASE WHEN rn = 1 THEN job_type END) AS primary_type,
+             max(CASE WHEN rn = 1 THEN start_ts END) AS primary_start,
+             CASE WHEN max(CASE WHEN job_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                  THEN 'Public' ELSE 'Internal' END AS visibility
+      FROM elected GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_jobs, p.primary_type, p.primary_start, p.visibility,
+           c.c_name AS full_name,
+           CASE WHEN c.c_custkey IS NOT NULL
+                THEN concat('user', CAST(p.user_id AS VARCHAR), '@umn.edu') END AS email,
+           CASE WHEN c.c_custkey IS NULL
+                THEN sha256(concat_ws(chr(31), 'missing_person_dim',
+                                      CAST(p.user_id AS VARCHAR))) END AS error_id
+    FROM person p
+    LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+      ON p.user_id = c.c_custkey
+    """,
+)
+def person_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end: run-length job grouping (W2) → primary election
+    (W8) → visibility rollup (A10) → dim enrichment (J4) with
+    quarantine ids for dim misses (J1/F9) and email derivation (F6) —
+    the reference's whole per-person transform
+    (oit_to_edw/person.py:21-265) as one plan, one shuffle key."""
+    ev = read_table(spark, sf_dir, "events")
+    grouped = run_groups(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], ["event_type"]
+    )
+    jobs = grouped.groupBy("user_id", "group_id").agg(
+        F.min("event_type").alias("job_type"), F.min("ts").alias("start_ts")
+    )
+    priority = (
+        F.when(F.col("job_type") == "purchase", 1)
+        .when(F.col("job_type") == "signup", 2)
+        .when(F.col("job_type") == "view", 3)
+        .when(F.col("job_type") == "click", 4)
+        .otherwise(5)
+    )
+    elected = elect_primary(
+        jobs, ["user_id"], priority, [F.col("start_ts"), F.col("group_id")]
+    )
+    person = elected.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.max(F.when(F.col("primary"), F.col("job_type"))).alias("primary_type"),
+        F.max(F.when(F.col("primary"), F.col("start_ts"))).alias("primary_start"),
+        F.when(
+            F.max(F.when(F.col("job_type") == "purchase", 1).otherwise(0)) == 1,
+            "Public",
+        )
+        .otherwise("Internal")
+        .alias("visibility"),
+    )
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_name")
+    )
+    joined = person.join(
+        F.broadcast(dim), person.user_id == dim.c_custkey, "left"
+    )
+    return joined.select(
+        "user_id",
+        "n_jobs",
+        "primary_type",
+        "primary_start",
+        "visibility",
+        F.col("c_name").alias("full_name"),
+        F.when(
+            F.col("c_custkey").isNotNull(),
+            X.derive_email(F.concat(F.lit("user"), F.col("user_id").cast("string"))),
+        ).alias("email"),
+        F.when(
+            F.col("c_custkey").isNull(),
+            F.sha2(
+                F.concat_ws(
+                    "\x1f", F.lit("missing_person_dim"), F.col("user_id").cast("string")
+                ),
+                256,
+            ),
+        ).alias("error_id"),
+    )
