@@ -1722,3 +1722,38 @@ def person_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("error_id"),
     )
+
+
+@query(
+    "session_window_agg",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM grp GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation — Spark's built-in gap-based
+    session op (the one a streaming query would use), value-matched
+    against the lag/cumsum formulation in the oracle.  Boundary note:
+    session_window extends a session only while the gap is STRICTLY less
+    than 30min, hence ``>=`` in the oracle's new-session flag."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("win.start").alias("session_start"), "n_events"
+        )
+    )

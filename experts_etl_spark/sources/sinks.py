@@ -69,3 +69,22 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def export_csv(df: "DataFrame", path: str, order_by: Sequence[str]) -> int:
+    """S9 (report side): small ordered CSV export for the error-report
+    mail attachment (umn_data_error.py:47-99).  Streams through
+    ``toLocalIterator`` like the XML sink — reports are small, but the
+    driver still never holds more than a partition.  SMTP stays a
+    side-channel outside the engine."""
+    import csv
+
+    ordered = df.orderBy(*order_by)
+    n = 0
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(df.columns)
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            writer.writerow(list(row))
+            n += 1
+    return n

@@ -64,3 +64,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_agg")
         spark.sql("DROP TABLE IF EXISTS b_latest")
+
+
+def test_export_csv_ordered_with_header(spark, tmp_path):
+    from experts_etl_spark.sources.sinks import export_csv
+
+    df = spark.createDataFrame(
+        [(2, "b"), (1, "a"), (3, "c")], ["k", "v"]
+    ).repartition(3)
+    path = str(tmp_path / "report.csv")
+    n = export_csv(df, path, ["k"])
+    lines = open(path).read().splitlines()
+    assert n == 3
+    assert lines == ["k,v", "1,a", "2,b", "3,c"]
