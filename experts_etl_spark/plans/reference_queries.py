@@ -1757,3 +1757,32 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("win.start").alias("session_start"), "n_events"
         )
     )
+
+
+@query(
+    "tumbling_window_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows — the batch twin of the streaming
+    aggregation (streaming/incremental.py:windowed_counts_frame); with
+    ``withWatermark`` + ``writeStream`` the same expression runs
+    unbounded."""
+    from experts_etl_spark.streaming.incremental import windowed_counts_frame
+
+    ev = read_table(spark, sf_dir, "events")
+    # reuse the exact streaming aggregation body (watermark is a no-op
+    # on a batch frame, so build the same shape directly here)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
