@@ -212,6 +212,95 @@ def minhash_lsh_dedup(
     )
 
 
+# --- Winnowing fingerprints (rolling k-gram hash + window minima) ---------
+
+def winnow_fingerprint_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int = 4, w: int = 3
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-word gram, slide a window of w gram hashes,
+    keep each window's minimum — the distinct minima are the
+    fingerprint set.  Guarantees any shared run of k+w−1 words produces
+    at least one shared fingerprint.
+
+    Set-based plan: posexplode words → ``lead()`` assembles grams →
+    ``min() over rowsBetween(0, w−1)`` takes window minima — three
+    window passes over ONE ``partitionBy(doc)`` shuffle, whole-stage
+    codegen throughout (same rationale as :func:`doc_shingles`: the
+    array/HOF formulation re-runs the split per position).  Docs with
+    fewer than k words yield no grams hence no fingerprints; docs with
+    fewer than w grams yield one fingerprint (min of all grams).
+    """
+    from pyspark.sql import Window
+
+    wdf = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, k)]
+    grams = wdf.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        parts[-1].alias("_tail"),
+    ).filter(F.col("_tail").isNotNull())
+    gwin = Window.partitionBy(id_col).orderBy("pos")
+    fps = grams.select(
+        F.col(id_col),
+        F.min("h").over(gwin.rowsBetween(0, w - 1)).alias("fp"),
+        F.row_number().over(gwin).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_ng"),
+    ).filter(F.col("_rn") <= F.greatest(F.col("_ng") - (w - 1), F.lit(1)))
+    # Dedup + set size WITHOUT leaving the doc partitioning: sort by fp
+    # inside the doc partition, drop adjacent repeats via lag, count the
+    # survivors with an unbounded window — a `.distinct()` + groupBy-size
+    # formulation would add two more exchanges and two more corpus scans
+    # to the pair join below.
+    fpwin = Window.partitionBy(id_col).orderBy("fp")
+    uniq = fps.withColumn("_prev", F.lag("fp").over(fpwin)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("fp"))
+    )
+    return uniq.select(
+        F.col(id_col),
+        F.col("fp"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_fp"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float,
+    k: int = 4, w: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap coefficient
+    |F1∩F2| / min(|F1|,|F2|) ≥ threshold.  The self-join is blocked on
+    the fingerprint (shuffle key = fp) — winnowing keeps ~1/w of the
+    gram hashes, so this moves w× less data than the full shingle join."""
+    fps = winnow_fingerprint_sets(df, text_col, id_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(b, on="fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            # n_fp is constant per doc — min() just carries it through
+            F.min("a.n_fp").alias("n1"),
+            F.min("b.n_fp").alias("n2"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "overlap",
+            F.col("n_shared").cast("double")
+            / F.least("n1", "n2").cast("double"),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id1", "id2", F.col("n_shared").cast("int").alias("n_shared"), "overlap")
+    )
+
+
 # --- SimHash (Pandas-UDF path: genuinely non-SQL, Arrow-batched) ---------
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:

@@ -251,6 +251,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(d, "text", "doc_id", 0.5)
 
 
+@query(
+    "dedup_winnow",
+    f"""
+    WITH toks AS (SELECT doc_id, {_W} AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                            i -> md5(array_to_string(w[i:i+3], ' '))) AS g
+      FROM toks
+    ),
+    mins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(g) - 2, 1) + 1),
+               j -> list_aggregate(g[j:j+2], 'min'))) AS fpl
+      FROM grams WHERE len(g) > 0
+    ),
+    fps AS (SELECT doc_id, unnest(fpl) AS fp FROM mins),
+    sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2, CAST(ni AS INT) AS n_shared,
+           CAST(ni AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) AS overlap
+    FROM inter JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(ni AS DOUBLE) / CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, window-minimum selection) near-dup
+    pairs by fingerprint overlap — keeps ~1/w of the gram hashes, so the
+    blocked self-join moves w× less data than full-shingle Jaccard."""
+    from experts_etl_spark.llm.dedup import winnow_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return winnow_pairs(d, "text", "doc_id", 0.6)
+
+
 @query("dedup_simhash")  # Pandas-UDF path: rows-only check (non-SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, 16-bit-chunk blocked).

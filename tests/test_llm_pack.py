@@ -68,6 +68,28 @@ def test_minhash_lsh_candidates_include_true_dups(spark):
     assert (1, 3) in cands          # 7/8 shared shingles → near-certain
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: identical docs share ALL fingerprints; a doc
+    with one changed word still shares a long run → overlap high; short
+    docs (<k words) yield none; a doc with exactly k words yields one."""
+    from experts_etl_spark.llm.dedup import winnow_fingerprint_sets, winnow_pairs
+
+    rows = DOCS + [(6, "one two three four")]          # exactly k=4 words
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprint_sets(df, "text", "doc_id")
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] == by_doc[2]                      # identical docs
+    assert 5 not in by_doc                             # <k words → none
+    assert len(by_doc[6]) == 1                         # k words, <w grams → 1
+    pairs = {(r.id1, r.id2): r.overlap for r in
+             winnow_pairs(df, "text", "doc_id", 0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs                             # near-dup recalled
+    assert not any(4 in p for p in pairs)              # unrelated absent
+
+
 def test_simhash_deterministic_and_blocks(spark):
     pairs = simhash_pairs(docs_df(spark), "text", "doc_id", max_hamming=10)
     got = {(r.id1, r.id2): r.hamming for r in pairs.collect()}
