@@ -37,6 +37,7 @@ HEADLINE = [
     # LLM-data pipeline pack
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_winnow",
     "ann_topk_bucketed",
     "text_quality_metrics",
 ]

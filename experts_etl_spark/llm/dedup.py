@@ -189,14 +189,20 @@ def minhash_lsh_dedup(
     candidate count; the full shingle-blocked self-join
     (:func:`ngram_jaccard_pairs`) is the exact-but-quadratic-ish baseline
     LSH exists to avoid."""
-    cands = lsh_candidates(minhash_signatures(df, text_col, id_col), id_col)
-    sets = (
-        doc_shingles(df, text_col, id_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
-    a = sets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
-    b = sets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
+    # ONE aggregation pass produces both the MinHash signature (for
+    # banding) and the shingle set (for exact verify) — the split
+    # formulation (minhash_signatures + a second doc_shingles→collect_set)
+    # exploded and shuffled the corpus twice.
+    sh = doc_shingles(df, text_col, id_col)
+    shx = sh.withColumn("x", hex60(F.col("shingle")) % P31)
+    aggs = [
+        F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ] + [F.collect_set("shingle").alias("sh")]
+    sigsets = shx.groupBy(id_col).agg(*aggs)
+    cands = lsh_candidates(sigsets.drop("sh"), id_col)
+    a = sigsets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
+    b = sigsets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     scored = (
         cands.join(a, "id1")
         .join(b, "id2")
