@@ -113,6 +113,7 @@ def split_stints(
     closed_status: str = "C",
     stint_col: str = "stint_id",
     drop_after_closed: bool = True,
+    closed_col: str | None = None,
 ) -> DataFrame:
     """W3: stint splitting (sessionize by status transitions).
 
@@ -126,6 +127,11 @@ def split_stints(
     inactive (or absent) → flag + running sum.  The stop-after-closed rule
     is ``min(row_number where closed)`` per key, then a filter — all
     window expressions, no state machine.
+
+    ``closed_col`` lets the closed marker live in a different column than
+    the active state — the reference checks ``entry['status'] in
+    active_states`` but ``entry['status_flg'] == 'C'``
+    (oit_to_edw/affiliate_job.py:121-141).
     """
     part = _cols(keys)
     w = Window.partitionBy(*part).orderBy(*_cols(order_by))
@@ -138,7 +144,11 @@ def split_stints(
     if drop_after_closed:
         df = df.withColumn(
             "_closed_rn",
-            F.min(F.when(F.col(status_col) == closed_status, F.col("_rn"))).over(wall),
+            F.min(
+                F.when(
+                    F.col(closed_col or status_col) == closed_status, F.col("_rn")
+                )
+            ).over(wall),
         )
         df = df.filter(
             F.col("_closed_rn").isNull() | (F.col("_rn") <= F.col("_closed_rn"))
