@@ -27,9 +27,16 @@ import importlib
 import sys
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from experts_etl_spark.operators.windows import run_groups, split_stints
+from experts_etl_spark.functions import full_name, synthetic_assoc_id
+from experts_etl_spark.operators.windows import (
+    dedupe_keep_best,
+    elect_primary,
+    run_groups,
+    split_stints,
+)
 
 REF_TESTS = "/root/reference/tests"
 
@@ -172,3 +179,191 @@ def test_split_stints_reproduces_reference_stints(spark, name):
         assert [g["start_date"] for g in groups] == [
             entries[s[0]]["effdt"] for s in expected
         ]
+
+# ---------------------------------------------------------------------------
+# Person-assembly stages (oit_to_edw/person.py) against the fixture
+# constants the reference's own test_person.py asserts.
+# ---------------------------------------------------------------------------
+
+ELECTION_FIXTURES = [
+    "emp_job_entries_4604830",
+    "employee_jobs_2110507",
+    "employee_jobs_1217312",
+    "emp_job_entries_1082441",
+]
+
+JOB_COLS = ("empl_rcdno", "start_date", "end_date", "staff_type", "profiled")
+
+
+def _jobs_df(spark, jobs):
+    return spark.createDataFrame(
+        [
+            {
+                "_idx": i,
+                "person": "p1",
+                "empl_rcdno": j["empl_rcdno"],
+                "start_date": j["start_date"],
+                "end_date": j["end_date"],
+                "staff_type": j["staff_type"],
+                "profiled": j["profiled"],
+            }
+            for i, j in enumerate(jobs)
+        ]
+    )
+
+
+def _election_priority(primary_rcdno: str):
+    """The reference's 6-level fallback cascade (transform_primary_job,
+    oit_to_edw/person.py:319-459) as ONE window ordering for the
+    employee/poi-only case: active+rcdno-match, then active (earliest
+    start, lowest rcdno), then inactive+rcdno-match, then inactive —
+    every level tie-breaking on REVERSE input order (the reference
+    iterates the reversed job list, person.py:364)."""
+    active = F.col("end_date").isNull()
+    match = F.col("empl_rcdno").rlike(r"^\d$") & (
+        F.col("empl_rcdno") == F.lit(primary_rcdno)
+    )
+    prio = (
+        F.when(active & match, 1)
+        .when(active, 2)
+        .when(~active & match, 3)
+        .otherwise(4)
+    )
+    ties = [
+        F.when(prio == 2, F.col("start_date")),
+        F.when(prio == 2, F.col("empl_rcdno")),
+        -F.col("_idx"),
+    ]
+    return prio, ties
+
+
+def _expected_primary_by_idx(jobs, jobs_with_primary):
+    """Match each expected output dict back to its input index (the
+    reference reorders its output list)."""
+    remaining = list(enumerate(jobs))
+    flags = {}
+    for out in jobs_with_primary:
+        stripped = {k: v for k, v in out.items() if k != "primary"}
+        for pos, (i, j) in enumerate(remaining):
+            if j == stripped:
+                flags[i] = out["primary"]
+                del remaining[pos]
+                break
+        else:
+            raise AssertionError(f"unmatched expected job: {stripped}")
+    return flags
+
+
+@pytest.mark.parametrize("name", ELECTION_FIXTURES)
+def test_elect_primary_reproduces_reference(spark, name):
+    mod = load_fixture(name)
+    expected = _expected_primary_by_idx(mod.jobs, mod.jobs_with_primary)
+    prio, ties = _election_priority("0")
+    out = elect_primary(_jobs_df(spark, mod.jobs), ["person"], prio, ties)
+    got = {r._idx: r.primary for r in out.collect()}
+    assert got == expected, name
+    assert sum(got.values()) == 1  # exactly-one-primary invariant
+
+
+ASSOC_FIXTURES = [
+    ("employee_jobs_1217312", "6030"),
+    ("employee_jobs_2110507", "3021"),
+]
+
+
+@pytest.mark.parametrize("name,person_id", ASSOC_FIXTURES)
+def test_staff_org_assoc_id_reproduces_reference(spark, name, person_id):
+    """F5 synthetic id + W9 keep-best dedup vs the reference's
+    transform_staff_org_assoc_id expected output (person.py:272-317):
+    collapse same-assoc-id jobs preferring the no-end-date row, OR the
+    primary flag through."""
+    mod = load_fixture(name)
+    jobs = mod.jobs_with_primary
+    fields = sorted(mod.jobs_with_staff_org_assoc_id[0].keys())
+    df = spark.createDataFrame(
+        [{**j, "_idx": i} for i, j in enumerate(jobs)]
+    ).withColumn(
+        "staff_org_assoc_id",
+        F.when(
+            F.col("org_id").isNotNull()
+            & F.col("job_title").isNotNull()
+            & F.col("employment_type").isNotNull(),
+            synthetic_assoc_id(
+                F.lit(person_id),
+                F.col("org_id"),
+                F.col("job_title"),
+                F.col("employment_type"),
+                F.date_format("start_date", "yyyy-MM-dd"),
+            ),
+        ),
+    )
+    out = dedupe_keep_best(
+        df,
+        keys=["staff_org_assoc_id"],
+        order_by=[F.col("end_date").isNotNull().cast("int"), F.col("_idx")],
+        or_cols=["primary"],
+    )
+    got = {tuple(str(r[f]) for f in fields) for r in out.collect()}
+    want = {
+        tuple(str(j[f]) for f in fields) for j in mod.jobs_with_staff_org_assoc_id
+    }
+    assert got == want, name
+
+
+@pytest.mark.parametrize("name", ["employee_jobs_1217312", "employee_jobs_2110507"])
+def test_staff_type_and_profiled_rollups_reproduce_reference(spark, name):
+    """transform_staff_type (person.py:461-469: non-academic primary →
+    all jobs nonacademic) and transform_profiled (person.py:471-476:
+    primary job profiled AND open) as A10-style window rollups."""
+    mod = load_fixture(name)
+    df = _jobs_df(spark, mod.jobs_with_primary).withColumn(
+        "primary",
+        F.lit(None).cast("boolean"),
+    )
+    df = spark.createDataFrame(
+        [
+            {"_idx": i, "person": "p1", **{k: j[k] for k in (*JOB_COLS, "primary")}}
+            for i, j in enumerate(mod.jobs_with_primary)
+        ]
+    )
+    person_w = Window.partitionBy("person")
+    primary_staff = F.max(F.when(F.col("primary"), F.col("staff_type"))).over(person_w)
+    out = df.withColumn(
+        "staff_type_out",
+        F.when(primary_staff == "academic", F.col("staff_type")).otherwise(
+            F.lit("nonacademic")
+        ),
+    ).withColumn(
+        "profiled_out",
+        F.max(
+            F.when(
+                F.col("primary") & F.col("profiled") & F.col("end_date").isNull(), 1
+            ).otherwise(0)
+        ).over(person_w)
+        == 1,
+    )
+    rows = {r._idx: r for r in out.collect()}
+    for i, j in enumerate(mod.jobs_with_transformed_staff_type):
+        assert rows[i].staff_type_out == j["staff_type"], name
+    assert all(r.profiled_out == mod.transformed_profiled for r in rows.values())
+
+
+def test_scalar_transforms_reproduce_reference(spark):
+    """transform_first_name / transform_person_id expected values from
+    the reference's test_person.py:31-46."""
+    df = spark.createDataFrame(
+        [
+            ("Alex", "J", "5150075", "8185"),
+            ("Alex", " ", "5150075", "5150075"),
+            ("Alex", None, "5150075", None),
+        ],
+        ["first", "middle", "emplid", "scival_id"],
+    ).select(
+        full_name(F.col("first"), F.col("middle")).alias("name"),
+        F.coalesce(F.col("scival_id"), F.col("emplid")).alias("person_id"),
+    )
+    assert [(r.name, r.person_id) for r in df.collect()] == [
+        ("Alex J", "8185"),
+        ("Alex", "5150075"),
+        ("Alex", "5150075"),
+    ]
