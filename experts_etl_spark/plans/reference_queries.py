@@ -1448,6 +1448,82 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return person_sync_frame(spark, sf_dir)
 
 
+@query("pure_person_sync_xml")  # rows-only: byte-parity vs the reference
+# template itself is proven in tests/test_reference_fixture_parity.py
+def pure_person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Pure person.xml.j2 render (edw_to_pure/person.py:33-47)
+    as native column expressions over the synthetic cast — every
+    conditional branch exercised deterministically (postnominal every
+    5th person, no internet_id every 3rd, open-ended jobs for open
+    orders)."""
+    from experts_etl_spark.plans.xml_sync import pure_person_xml
+
+    persons = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("person_id"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("first_name"),
+        F.col("c_name").alias("last_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("Ph.D.")).alias("postnominal"),
+        F.col("c_custkey").cast("string").alias("emplid"),
+        F.when(
+            F.col("c_custkey") % 3 != 0,
+            F.concat(F.lit("u"), F.col("c_custkey").cast("string")),
+        ).alias("internet_id"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("Public"))
+        .otherwise(F.lit("Restricted"))
+        .alias("visibility"),
+        (F.col("c_custkey") % 2 == 0).alias("profiled"),
+    )
+    jobs = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").cast("string").alias("person_id"),
+            F.struct(
+                F.concat(
+                    F.lit("autoid:"), F.col("o_orderkey").cast("string")
+                ).alias("staff_org_association_id"),
+                F.col("o_orderpriority").alias("affiliation_id"),
+                F.when(
+                    F.col("o_orderkey") % 2 == 0,
+                    F.concat(
+                        F.lit("clerk"),
+                        (F.col("o_orderkey") % 100).cast("string"),
+                        F.lit("@umn.edu"),
+                    ),
+                ).alias("email_address"),
+                F.col("o_orderstatus").alias("employment_type"),
+                (F.col("o_orderkey") % 7 == 0).alias("primary_association"),
+                F.concat(
+                    F.lit("ORG"), (F.col("o_custkey") % 7).cast("string")
+                ).alias("org_id"),
+                F.col("o_orderdate").alias("period_start_date"),
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.date_add(F.col("o_orderdate"), 365),
+                ).alias("period_end_date"),
+                F.lit("academic").alias("staff_type"),
+                F.col("o_orderpriority").alias("job_description"),
+            ).alias("job"),
+        )
+        .groupBy("person_id")
+        .agg(F.array_sort(F.collect_list("job")).alias("jobs"))
+    )
+    joined = persons.join(jobs, "person_id", "left")
+    return joined.select(
+        "person_id",
+        pure_person_xml(
+            F.col("person_id"),
+            F.col("first_name"),
+            F.col("last_name"),
+            F.col("postnominal"),
+            F.col("emplid"),
+            F.col("internet_id"),
+            F.col("visibility"),
+            F.col("profiled"),
+            F.col("jobs"),
+        ).alias("xml"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew pack — same answers as the naive plans, skew-proof physical shape
 # ---------------------------------------------------------------------------

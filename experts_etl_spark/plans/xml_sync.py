@@ -16,7 +16,7 @@ The synthetic cast: ``customer`` plays ``pure_sync_person_data``,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from experts_etl_spark.sources import read_table
@@ -67,6 +67,166 @@ def person_sync_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</jobs></person>"),
     )
     return joined.select("person_id", person_xml.alias("xml"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-parity renderer for the reference's REAL Pure person template
+# (templates/person.xml.j2, rendered by edw_to_pure/person.py:33-47).
+# Native column expressions — whole-stage codegen, no Python per row —
+# reproducing Jinja2's exact whitespace-control and autoescape output
+# (tests/test_reference_fixture_parity.py proves byte equality against
+# the template file itself).
+# ---------------------------------------------------------------------------
+
+def _esc(c: Column) -> Column:
+    """markupsafe-equivalent escape (Jinja2 autoescape): & < > " '."""
+    out = F.regexp_replace(c, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    out = F.regexp_replace(out, '"', "&#34;")
+    return F.regexp_replace(out, "'", "&#39;")
+
+
+def _present(c: Column) -> Column:
+    """Jinja2 truthiness for optional string fields: non-null, non-empty."""
+    return c.isNotNull() & (c != "")
+
+
+def _job_element(j: Column) -> Column:
+    email = F.when(
+        _present(j["email_address"]),
+        F.concat(
+            F.lit(
+                '\n      <emails>\n        <v3:classifiedEmail id="personStaffAssocEmail1">'
+                "\n          <v3:classification>email</v3:classification>"
+                "\n          <v3:value>"
+            ),
+            _esc(j["email_address"]),
+            F.lit("</v3:value>\n        </v3:classifiedEmail>\n      </emails>"),
+        ),
+    ).otherwise(F.lit(""))
+    end_date = F.when(
+        j["period_end_date"].isNotNull(),
+        F.concat(
+            F.lit("\n        <v3:endDate>"),
+            F.date_format(j["period_end_date"], "dd-MM-yyyy"),
+            F.lit("</v3:endDate>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('\n    <staffOrganisationAssociation id="'),
+        _esc(j["staff_org_association_id"]),
+        F.lit('" managedInPure="false">\n      <affiliationId>'),
+        _esc(j["affiliation_id"]),
+        F.lit("</affiliationId>"),
+        email,
+        F.lit("\n      <employmentType>"),
+        _esc(j["employment_type"]),
+        F.lit("</employmentType>\n      <primaryAssociation>"),
+        F.when(j["primary_association"], F.lit("true")).otherwise(F.lit("false")),
+        F.lit(
+            "</primaryAssociation>\n      <organisation>\n        <v3:source_id>"
+        ),
+        _esc(j["org_id"]),
+        F.lit(
+            "</v3:source_id>\n      </organisation>\n      <period>\n        <v3:startDate>"
+        ),
+        F.date_format(j["period_start_date"], "dd-MM-yyyy"),
+        F.lit("</v3:startDate>"),
+        end_date,
+        F.lit("\n      </period>\n      <staffType>"),
+        _esc(j["staff_type"]),
+        F.lit("</staffType>\n      <jobDescription><v3:text lang=\"en\">"),
+        _esc(j["job_description"]),
+        F.lit("</v3:text></jobDescription>\n    </staffOrganisationAssociation>"),
+    )
+
+
+def pure_person_xml(
+    person_id: Column,
+    first_name: Column,
+    last_name: Column,
+    postnominal: Column,
+    emplid: Column,
+    internet_id: Column,
+    visibility: Column,
+    profiled: Column,
+    jobs: Column,
+) -> Column:
+    """One rendered ``<person>`` element, byte-identical to the
+    reference's person.xml.j2 under Jinja2's whitespace rules (including
+    the leading newline from the autoescape tag line and the trailing
+    two-space line the un-trimmed ``{% endif %}`` leaves after a
+    postnominal block)."""
+    titles = F.when(
+        _present(postnominal),
+        F.concat(
+            F.lit('\n  <titles>\n    <title id="'),
+            _esc(emplid),
+            F.lit(
+                '">\n      <typeClassification>postnominal</typeClassification>'
+                '\n      <value>\n        <v3:text lang="en" country="US">'
+            ),
+            _esc(postnominal),
+            F.lit("</v3:text>\n      </value>\n    </title>\n  </titles>\n  "),
+        ),
+    ).otherwise(F.lit(""))
+    jobs_xml = F.concat_ws(
+        "", F.transform(F.coalesce(jobs, F.array()), _job_element)
+    )
+    user = F.when(
+        _present(internet_id),
+        F.concat(
+            F.lit('\n  <user id="'),
+            _esc(person_id),
+            F.lit('">\n    <userName>'),
+            _esc(internet_id),
+            F.lit("@umn.edu</userName>\n    <email>"),
+            _esc(internet_id),
+            F.lit("@umn.edu</email>\n  </user>"),
+        ),
+    ).otherwise(F.lit(""))
+    umn_id = F.when(
+        _present(internet_id),
+        F.concat(
+            F.lit('\n    <v3:id type="umn" id="autoid:'),
+            _esc(person_id),
+            F.lit("-umn-"),
+            _esc(internet_id),
+            F.lit('">'),
+            _esc(internet_id),
+            F.lit("</v3:id>"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit('\n<person id="'),
+        _esc(person_id),
+        F.lit('">\n  <name>\n    <v3:firstname>'),
+        _esc(first_name),
+        F.lit("</v3:firstname>\n    <v3:lastname>"),
+        _esc(last_name),
+        F.lit("</v3:lastname>\n  </name>"),
+        titles,
+        F.lit(
+            "\n  <gender>unknown</gender>\n  <organisationAssociations>"
+        ),
+        jobs_xml,
+        F.lit("\n  </organisationAssociations>"),
+        user,
+        F.lit('\n  <personIds>\n    <v3:id type="employee" id="autoid:'),
+        _esc(person_id),
+        F.lit("-employee-"),
+        _esc(emplid),
+        F.lit('">'),
+        _esc(emplid),
+        F.lit("</v3:id>"),
+        umn_id,
+        F.lit("\n  </personIds>\n  <visibility>"),
+        _esc(visibility),
+        F.lit("</visibility>\n  <profiled>"),
+        F.when(profiled, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("</profiled>\n</person>\n"),
+    )
 
 
 def run_person_sync(spark: SparkSession, sf_dir: str, out_path: str) -> int:

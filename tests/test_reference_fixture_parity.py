@@ -367,3 +367,143 @@ def test_scalar_transforms_reproduce_reference(spark):
         ("Alex", "5150075"),
         ("Alex", "5150075"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Byte-parity with the reference's REAL person.xml.j2 template: the
+# native-column renderer must produce the exact bytes Jinja2 produces
+# from the template file (read-only) for a matrix covering every
+# conditional branch — resurrecting the reference's skipped golden-XML
+# test (test_person.py:178-248) against live template behavior.
+# ---------------------------------------------------------------------------
+
+import datetime
+
+PERSON_MATRIX = [
+    # (postnominal, internet_id, jobs: [(email, end_date, primary)])
+    (None, "mbezada", [("m@umn.edu", None, True)]),
+    (None, None, [(None, datetime.datetime(2012, 3, 4), False)]),
+    ("Ph.D. & <Hon>", "o'brien", []),
+    (
+        "MD",
+        "x",
+        [
+            ("a@umn.edu", datetime.datetime(2011, 1, 2), True),
+            (None, None, False),
+        ],
+    ),
+]
+
+
+def _person_dict(i, postnominal, internet_id, jobspec):
+    return {
+        "person_id": f"p{i}",
+        "first_name": 'Max & "Co"',
+        "last_name": "Bezada<X>",
+        "postnominal": postnominal,
+        "emplid": f"500{i}",
+        "internet_id": internet_id,
+        "visibility": "Public" if i % 2 else "Restricted",
+        "profiled": bool(i % 2),
+        "jobs": [
+            {
+                "staff_org_association_id": f"autoid:{i}-{k}",
+                "affiliation_id": "9403",
+                "email_address": email,
+                "employment_type": "faculty",
+                "primary_association": primary,
+                "org_id": "IHRB'Q",
+                "period_start_date": datetime.datetime(2014, 8, 29),
+                "period_end_date": end,
+                "staff_type": "academic",
+                "job_description": 'Assistant "Prof" <i>',
+            }
+            for k, (email, end, primary) in enumerate(jobspec)
+        ],
+    }
+
+
+def test_pure_person_xml_byte_parity_with_reference_template(spark):
+    import jinja2
+
+    from experts_etl_spark.plans.xml_sync import pure_person_xml
+
+    src = open("/root/reference/experts_etl/templates/person.xml.j2").read()
+    env = jinja2.Environment(
+        autoescape=jinja2.select_autoescape(["html", "xml"])
+    )
+    tmpl = env.from_string(src)
+
+    persons = [
+        _person_dict(i, *spec) for i, spec in enumerate(PERSON_MATRIX)
+    ]
+    expected = {p["person_id"]: tmpl.render(**p) for p in persons}
+
+    from pyspark.sql import types as T
+
+    job_t = T.StructType(
+        [
+            T.StructField("staff_org_association_id", T.StringType()),
+            T.StructField("affiliation_id", T.StringType()),
+            T.StructField("email_address", T.StringType()),
+            T.StructField("employment_type", T.StringType()),
+            T.StructField("primary_association", T.BooleanType()),
+            T.StructField("org_id", T.StringType()),
+            T.StructField("period_start_date", T.TimestampType()),
+            T.StructField("period_end_date", T.TimestampType()),
+            T.StructField("staff_type", T.StringType()),
+            T.StructField("job_description", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("person_id", T.StringType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("postnominal", T.StringType()),
+            T.StructField("emplid", T.StringType()),
+            T.StructField("internet_id", T.StringType()),
+            T.StructField("visibility", T.StringType()),
+            T.StructField("profiled", T.BooleanType()),
+            T.StructField("jobs", T.ArrayType(job_t)),
+        ]
+    )
+    df = spark.createDataFrame(persons, schema)
+    out = df.select(
+        "person_id",
+        pure_person_xml(
+            F.col("person_id"),
+            F.col("first_name"),
+            F.col("last_name"),
+            F.col("postnominal"),
+            F.col("emplid"),
+            F.col("internet_id"),
+            F.col("visibility"),
+            F.col("profiled"),
+            F.col("jobs"),
+        ).alias("xml"),
+    )
+    got = {r.person_id: r.xml for r in out.collect()}
+    assert got == expected
+
+
+def test_multi_format_ts_reproduces_reference_transformers(spark):
+    """The reference's tests/test_transformers.py expectations: ISO-8601
+    with millis+offset, %Y-%m-%d, %Y-%m, %Y (transformers.py:8-29);
+    unknown format raises there — here it yields NULL for the quarantine
+    branch (set-at-a-time error semantics, SURVEY §2.11)."""
+    from experts_etl_spark.functions import multi_format_ts
+
+    rows = [
+        ("2018-07-13T06:00:04.110+0000", datetime.datetime(2018, 7, 13, 6, 0, 4, 110000)),
+        ("2018-07-13", datetime.datetime(2018, 7, 13)),
+        ("2018-07", datetime.datetime(2018, 7, 1)),
+        ("2018", datetime.datetime(2018, 1, 1)),
+        ("bogus", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], ["s"])
+    got = {
+        r.s: r.ts
+        for r in df.select("s", multi_format_ts(F.col("s")).alias("ts")).collect()
+    }
+    assert got == {s: exp for s, exp in rows}
