@@ -1448,6 +1448,50 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return person_sync_frame(spark, sf_dir)
 
 
+@query(
+    "pure_user_sync_xml",
+    """
+    WITH esc AS (
+      SELECT c_custkey,
+             replace(replace(replace(replace(replace(c_name,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&#34;'),
+               '''', '&#39;') AS name_e
+      FROM customer
+    )
+    SELECT CAST(c_custkey AS VARCHAR) AS person_id,
+           chr(10) || '<user id="' || CAST(c_custkey AS VARCHAR) || '">'
+           || chr(10) || '  <userName>u' || CAST(c_custkey AS VARCHAR)
+           || '@umn.edu</userName>'
+           || chr(10) || '  <email>u' || CAST(c_custkey AS VARCHAR) || '@umn.edu</email>'
+           || chr(10) || '  <name>'
+           || chr(10) || '    <v3:firstname>' || name_e || '</v3:firstname>'
+           || chr(10) || '    <v3:lastname>' || name_e || '</v3:lastname>'
+           || chr(10) || '  </name>'
+           || chr(10) || '</user>' || chr(10) AS xml
+    FROM esc
+    """,
+)
+def pure_user_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """templates/user.xml.j2 rendered natively (edw_to_pure/user.py:32-40);
+    byte-parity against the template proven in
+    tests/test_reference_fixture_parity.py, value-hash parity against the
+    SQL formulation here."""
+    from experts_etl_spark.plans.xml_sync import pure_user_xml
+
+    c = read_table(spark, sf_dir, "customer")
+    uname = F.concat(F.lit("u"), F.col("c_custkey").cast("string"))
+    return c.select(
+        F.col("c_custkey").cast("string").alias("person_id"),
+        pure_user_xml(
+            F.col("c_custkey").cast("string"),
+            uname,
+            F.concat(uname, F.lit("@umn.edu")),
+            F.col("c_name"),
+            F.col("c_name"),
+        ).alias("xml"),
+    )
+
+
 @query("pure_person_sync_xml")  # rows-only: byte-parity vs the reference
 # template itself is proven in tests/test_reference_fixture_parity.py
 def pure_person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:

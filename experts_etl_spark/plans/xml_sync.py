@@ -229,6 +229,198 @@ def pure_person_xml(
     )
 
 
+def pure_user_xml(
+    person_id: Column,
+    user_name: Column,
+    email: Column,
+    first_name: Column,
+    last_name: Column,
+) -> Column:
+    """Byte-parity render of templates/user.xml.j2 (edw_to_pure/user.py)."""
+    return F.concat(
+        F.lit('\n<user id="'),
+        _esc(person_id),
+        F.lit('">\n  <userName>'),
+        _esc(user_name),
+        F.lit("@umn.edu</userName>\n  <email>"),
+        _esc(email),
+        F.lit("</email>\n  <name>\n    <v3:firstname>"),
+        _esc(first_name),
+        F.lit("</v3:firstname>\n    <v3:lastname>"),
+        _esc(last_name),
+        F.lit("</v3:lastname>\n  </name>\n</user>\n"),
+    )
+
+
+def _typed_section(items: Column, section: str, render_item) -> Column:
+    """``{%- if xs|length > 0 %}<section>…{%- endif %}`` blocks of
+    organisation.xml.j2: emit nothing for empty/null lists."""
+    safe = F.coalesce(items, F.array())
+    return F.when(
+        F.size(safe) > 0,
+        F.concat(
+            F.lit(f"\n    <{section}>"),
+            F.concat_ws("", F.transform(safe, render_item)),
+            F.lit(f"\n    </{section}>"),
+        ),
+    ).otherwise(F.lit(""))
+
+
+def _tv(item: Column, outer: str, type_tag: str, value_tag: str) -> Column:
+    """The recurring ``<outer><type>t</type><value_tag>v</value_tag></outer>``
+    item shape (phone numbers, emails, ids)."""
+    return F.concat(
+        F.lit(f"\n        <{outer}>\n            <{type_tag}>"),
+        _esc(item["type"]),
+        F.lit(f"</{type_tag}>\n            <{value_tag}>"),
+        _esc(item["value"]),
+        F.lit(f"</{value_tag}>\n        </{outer}>"),
+    )
+
+
+def _opt_field(value: Column, tag: str, indent: str = "            ") -> Column:
+    """``{%- if x is not none %}`` fields: null skipped, empty rendered."""
+    return F.when(
+        value.isNotNull(),
+        F.concat(F.lit(f"\n{indent}<{tag}>"), _esc(value), F.lit(f"</{tag}>")),
+    ).otherwise(F.lit(""))
+
+
+def pure_organisation_xml(
+    organisation_id: Column,
+    org_type: Column,
+    name: Column,
+    start_date: Column,
+    end_date: Column,
+    visibility: Column,
+    parent_organisation_id: Column,
+    name_variants: Column,
+    profile_infos: Column,
+    photos: Column,
+    phone_numbers: Column,
+    emails: Column,
+    web_addresses: Column,
+    addresses: Column,
+    ids: Column,
+) -> Column:
+    """Byte-parity render of templates/organisation.xml.j2 — every
+    optional section, the ``is not none`` (null-only) guards, and the
+    CDATA profile-info block (inner ``autoescape false``: the value is
+    emitted RAW)."""
+
+    def name_variant(v):
+        return F.concat(
+            F.lit(
+                "\n        <nameVariant>\n            <type>"
+            ),
+            _esc(v["type"]),
+            F.lit(
+                '</type>\n            <name>\n                <v3:text lang="en" country="US">'
+            ),
+            _esc(v["value"]),
+            F.lit(
+                "</v3:text>\n            </name>\n        </nameVariant>"
+            ),
+        )
+
+    def profile_info(p):
+        return F.concat(
+            F.lit("\n        <profileInfo>\n            <type>"),
+            _esc(p["type"]),
+            F.lit(
+                '</type>\n            <profileInfo>\n                <v3:text lang="en" country="US">'
+                "\n                  <![CDATA["
+            ),
+            p["value"],  # inner {%- autoescape false %}: raw bytes
+            F.lit(
+                "]]>\n                </v3:text>\n            </profileInfo>\n        </profileInfo>"
+            ),
+        )
+
+    def photo(p):
+        return F.concat(
+            F.lit("\n        <photo>\n            <type>"),
+            _esc(p["type"]),
+            F.lit("</type>\n            <photoValue>"),
+            _esc(p["value"]),
+            F.lit(
+                "</photoValue>\n            <photoProtocol>http</photoProtocol>\n        </photo>"
+            ),
+        )
+
+    def web_address(w):
+        return F.concat(
+            F.lit("\n        <webAddress>\n            <type>"),
+            _esc(w["type"]),
+            F.lit(
+                '</type>\n            <webAddress>\n                <v3:text lang="en" country="US">'
+            ),
+            _esc(w["value"]),
+            F.lit(
+                "</v3:text>\n            </webAddress>\n        </webAddress>"
+            ),
+        )
+
+    def address(a):
+        return F.concat(
+            F.lit("\n        <address>\n            <type>"),
+            _esc(a["type"]),
+            F.lit("</type>"),
+            _opt_field(a["city"], "city"),
+            _opt_field(a["postalcode"], "postalCode"),
+            _opt_field(a["street"], "street"),
+            _opt_field(a["building"], "building"),
+            _opt_field(a["country"], "country"),
+            _opt_field(a["subdivision"], "subdivision"),
+            _opt_field(a["geospatial_point"], "geospatialPoint"),
+            F.lit("\n        </address>"),
+        )
+
+    def org_id_item(i):
+        return F.concat(
+            F.lit("\n        <id>\n            <idSource>"),
+            _esc(i["type"]),
+            F.lit("</idSource>\n            <id>"),
+            _esc(i["value"]),
+            F.lit("</id>\n        </id>"),
+        )
+
+    return F.concat(
+        F.lit('<organisation managedInPure="false">\n    <organisationId>'),
+        _esc(organisation_id),
+        F.lit("</organisationId>\n    <type>"),
+        _esc(org_type),
+        F.lit(
+            '</type>\n    <name>\n        <v3:text lang="en" country="US">'
+        ),
+        _esc(name),
+        F.lit("</v3:text>\n    </name>\n    <startDate>"),
+        F.date_format(start_date, "yyyy-MM-dd"),
+        F.lit("</startDate>"),
+        F.when(
+            end_date.isNotNull(),
+            F.concat(
+                F.lit("\n    <endDate>"),
+                F.date_format(end_date, "yyyy-MM-dd"),
+                F.lit("</endDate>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\n    <visibility>"),
+        _esc(visibility),
+        F.lit("</visibility>"),
+        _opt_field(parent_organisation_id, "parentOrganisationId", "    "),
+        _typed_section(name_variants, "nameVariants", name_variant),
+        _typed_section(profile_infos, "profileInfos", profile_info),
+        _typed_section(photos, "photos", photo),
+        _typed_section(phone_numbers, "phoneNumbers", lambda p: _tv(p, "phoneNumber", "type", "phoneNumber")),
+        _typed_section(emails, "emails", lambda e: _tv(e, "email", "type", "email")),
+        _typed_section(web_addresses, "webAddresses", web_address),
+        _typed_section(addresses, "addresses", address),
+        _typed_section(ids, "ids", org_id_item),
+        F.lit("\n</organisation>"),
+    )
+
+
 def run_person_sync(spark: SparkSession, sf_dir: str, out_path: str) -> int:
     """Render every person and write the single ordered sync file
     (edw_to_pure/person.py:33-47)."""

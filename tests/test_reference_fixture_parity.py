@@ -507,3 +507,154 @@ def test_multi_format_ts_reproduces_reference_transformers(spark):
         for r in df.select("s", multi_format_ts(F.col("s")).alias("ts")).collect()
     }
     assert got == {s: exp for s, exp in rows}
+
+
+def test_pure_user_xml_byte_parity_with_reference_template(spark):
+    import jinja2
+
+    from experts_etl_spark.plans.xml_sync import pure_user_xml
+
+    src = open("/root/reference/experts_etl/templates/user.xml.j2").read()
+    env = jinja2.Environment(autoescape=jinja2.select_autoescape(["html", "xml"]))
+    tmpl = env.from_string(src)
+    users = [
+        {
+            "person_id": "8185",
+            "user_name": "o'brien",
+            "email": "a&b@x",
+            "first_name": "M<",
+            "last_name": 'B>"',
+        },
+        {
+            "person_id": "2",
+            "user_name": "plain",
+            "email": "p@umn.edu",
+            "first_name": "A",
+            "last_name": "B",
+        },
+    ]
+    expected = {u["person_id"]: tmpl.render(**u) for u in users}
+    df = spark.createDataFrame(users)
+    out = df.select(
+        "person_id",
+        pure_user_xml(
+            F.col("person_id"),
+            F.col("user_name"),
+            F.col("email"),
+            F.col("first_name"),
+            F.col("last_name"),
+        ).alias("xml"),
+    )
+    assert {r.person_id: r.xml for r in out.collect()} == expected
+
+
+def _org_dict(i, full):
+    tv = lambda t, v: {"type": t, "value": v}
+    return {
+        "organisation_id": f"ORG<{i}>",
+        "type": "department & co",
+        "name": 'Physics "Dept"',
+        "start_date": datetime.datetime(2001, 2, 3),
+        "end_date": datetime.datetime(2010, 11, 12) if full else None,
+        "visibility": "Public",
+        "parent_organisation_id": "P&1" if full else None,
+        "name_variants": [tv("acronym", "PHY<")] if full else [],
+        "profile_infos": [tv("bio", "raw <b>html</b> & 'stuff'")] if full else [],
+        "photos": [tv("logo", "http://x/y.png")] if full else [],
+        "phone_numbers": [tv("main", "+1 555"), tv("fax", "+2")] if full else [],
+        "emails": [tv("office", "a@b.c")] if full else [],
+        "web_addresses": [tv("home", "http://z?a=1&b=2")] if full else [],
+        "addresses": [
+            {
+                "type": "postal",
+                "city": "Mpls",
+                "postalcode": None,
+                "street": "1 St & Ave",
+                "building": "",
+                "country": "US",
+                "subdivision": None,
+                "geospatial_point": None,
+            }
+        ]
+        if full
+        else [],
+        "ids": [tv("dept", "654A")] if full else [],
+    }
+
+
+def test_pure_organisation_xml_byte_parity_with_reference_template(spark):
+    import jinja2
+
+    from pyspark.sql import types as T
+
+    from experts_etl_spark.plans.xml_sync import pure_organisation_xml
+
+    src = open(
+        "/root/reference/experts_etl/templates/organisation.xml.j2"
+    ).read()
+    env = jinja2.Environment(autoescape=jinja2.select_autoescape(["html", "xml"]))
+    tmpl = env.from_string(src)
+
+    orgs = [_org_dict(0, True), _org_dict(1, False)]
+    expected = {o["organisation_id"]: tmpl.render(**o) for o in orgs}
+
+    tv_t = T.ArrayType(
+        T.StructType(
+            [T.StructField("type", T.StringType()), T.StructField("value", T.StringType())]
+        )
+    )
+    addr_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("type", T.StringType()),
+                T.StructField("city", T.StringType()),
+                T.StructField("postalcode", T.StringType()),
+                T.StructField("street", T.StringType()),
+                T.StructField("building", T.StringType()),
+                T.StructField("country", T.StringType()),
+                T.StructField("subdivision", T.StringType()),
+                T.StructField("geospatial_point", T.StringType()),
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("organisation_id", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("start_date", T.TimestampType()),
+            T.StructField("end_date", T.TimestampType()),
+            T.StructField("visibility", T.StringType()),
+            T.StructField("parent_organisation_id", T.StringType()),
+            T.StructField("name_variants", tv_t),
+            T.StructField("profile_infos", tv_t),
+            T.StructField("photos", tv_t),
+            T.StructField("phone_numbers", tv_t),
+            T.StructField("emails", tv_t),
+            T.StructField("web_addresses", tv_t),
+            T.StructField("addresses", addr_t),
+            T.StructField("ids", tv_t),
+        ]
+    )
+    df = spark.createDataFrame(orgs, schema)
+    out = df.select(
+        "organisation_id",
+        pure_organisation_xml(
+            F.col("organisation_id"),
+            F.col("type"),
+            F.col("name"),
+            F.col("start_date"),
+            F.col("end_date"),
+            F.col("visibility"),
+            F.col("parent_organisation_id"),
+            F.col("name_variants"),
+            F.col("profile_infos"),
+            F.col("photos"),
+            F.col("phone_numbers"),
+            F.col("emails"),
+            F.col("web_addresses"),
+            F.col("addresses"),
+            F.col("ids"),
+        ).alias("xml"),
+    )
+    assert {r.organisation_id: r.xml for r in out.collect()} == expected
