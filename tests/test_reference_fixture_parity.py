@@ -658,3 +658,217 @@ def test_pure_organisation_xml_byte_parity_with_reference_template(spark):
         ).alias("xml"),
     )
     assert {r.organisation_id: r.xml for r in out.collect()} == expected
+
+
+# ---------------------------------------------------------------------------
+# Full entries → jobs parity (transform_entry_groups): the reference's
+# test_transform equivalents, with the Oracle dim tables reverse-derived
+# from the fixtures' own expected jobs (dept→org and jobcode defaults
+# are uniquely determined by them).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T
+
+EMP_JOBS_FIXTURES = [
+    "emp_job_entries_4604830",
+    "emp_job_entries_1082441",
+    "emp_job_entries_3262322",
+    "emp_job_entries_5150075",
+    "employee_jobs_1217312",
+    "employee_jobs_1732812",
+    "employee_jobs_0903070",
+    "employee_jobs_2110507",
+    "employee_jobs_8000397",
+]
+
+POI_JOBS_FIXTURES = [
+    "poi_jobs_2898289",
+    "poi_jobs_2927554",
+    "poi_jobs_5231388",
+    "poi_jobs_5491169",
+    "poi_jobs_5575725",
+]
+
+_ENTRY_T = T.StructType(
+    [
+        T.StructField("_idx", T.LongType()),
+        T.StructField("emplid", T.StringType()),
+        T.StructField("empl_rcdno", T.StringType()),
+        T.StructField("effdt", T.TimestampType()),
+        T.StructField("effseq", T.StringType()),
+        T.StructField("position_nbr", T.StringType()),
+        T.StructField("jobcode", T.StringType()),
+        T.StructField("jobcode_descr", T.StringType()),
+        T.StructField("empl_status", T.StringType()),
+        T.StructField("deptid", T.StringType()),
+        T.StructField("um_campus", T.StringType()),
+        T.StructField("status_flg", T.StringType()),
+        T.StructField("last_date_worked", T.TimestampType()),
+        T.StructField("job_entry_dt", T.TimestampType()),
+    ]
+)
+
+_DEFAULTS_T = T.StructType(
+    [
+        T.StructField("jobcode", T.StringType()),
+        T.StructField("pure_job_description", T.StringType()),
+        T.StructField("default_employed_as", T.StringType()),
+        T.StructField("default_staff_type", T.StringType()),
+        T.StructField("default_visibility", T.StringType()),
+        T.StructField("default_profiled", T.BooleanType()),
+    ]
+)
+
+JOB_FIELDS = (
+    "affiliation_id deptid um_campus org_id empl_rcdno job_title "
+    "job_description employment_type staff_type start_date end_date "
+    "visibility profiled"
+).split()
+
+AFF_JOB_FIELDS = [f for f in JOB_FIELDS if f != "empl_rcdno"]
+
+
+def _dims_from_jobs(spark, jobs, affiliate=False):
+    dept_org = {}
+    defaults: dict[str, dict] = {}
+    for j in jobs:
+        dept_org[j["deptid"]] = j["org_id"]
+        d = defaults.setdefault(
+            j["affiliation_id"],
+            {
+                "jobcode": j["affiliation_id"],
+                "pure_job_description": j["job_description"],
+                "default_employed_as": j["employment_type"],
+                "default_staff_type": "nonacademic",
+                "default_visibility": "Restricted",
+                "default_profiled": False,
+            },
+        )
+        if affiliate or j["end_date"] is None:
+            d["default_staff_type"] = j["staff_type"]
+            d["default_profiled"] = j["profiled"]
+            if affiliate or j["um_campus"] in ("TXXX", "DXXX"):
+                d["default_visibility"] = j["visibility"]
+    dept_df = spark.createDataFrame(
+        [(k, v) for k, v in dept_org.items()], ["deptid", "org_id"]
+    )
+    def_df = spark.createDataFrame(list(defaults.values()), _DEFAULTS_T)
+    return dept_df, def_df
+
+
+def _compare_jobs(got_rows, expected_jobs, fields):
+    norm = lambda v: v if v is not None else None
+    got = sorted(
+        tuple(repr(norm(r[f])) for f in fields) for r in got_rows
+    )
+    want = sorted(
+        tuple(repr(norm(j.get(f))) for f in fields) for j in expected_jobs
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("name", EMP_JOBS_FIXTURES)
+def test_employee_jobs_pipeline_reproduces_reference(spark, name):
+    from experts_etl_spark.plans.jobs_pipeline import employee_jobs
+
+    mod = load_fixture(name)
+    rows = [
+        (
+            i,
+            e["emplid"],
+            e["empl_rcdno"],
+            e["effdt"],
+            str(e["effseq"]),
+            e["position_nbr"],
+            e["jobcode"],
+            e["jobcode_descr"],
+            e["empl_status"],
+            e["deptid"],
+            e["um_campus"],
+            e["status_flg"],
+            e.get("last_date_worked"),
+            e["job_entry_dt"],
+        )
+        for i, e in enumerate(mod.entries)
+    ]
+    entries = spark.createDataFrame(rows, _ENTRY_T)
+    dept_df, def_df = _dims_from_jobs(spark, mod.jobs)
+    jobs, quarantine = employee_jobs(entries, dept_df, def_df, order_by=["_idx"])
+    _compare_jobs(jobs.collect(), mod.jobs, JOB_FIELDS)
+    assert quarantine.count() == 0
+
+
+@pytest.mark.parametrize("name", POI_JOBS_FIXTURES)
+def test_poi_jobs_pipeline_reproduces_reference(spark, name):
+    from experts_etl_spark.plans.jobs_pipeline import poi_jobs
+
+    mod = load_fixture(name)
+    rows = [
+        (
+            i,
+            e["emplid"],
+            e["empl_rcdno"],
+            e["effdt"],
+            str(e["effseq"]),
+            e["position_nbr"],
+            e["jobcode"],
+            e["jobcode_descr"],
+            e["empl_status"],
+            e["deptid"],
+            e["um_campus"],
+            e["status_flg"],
+            None,
+            e["job_entry_dt"],
+        )
+        for i, e in enumerate(mod.entries)
+    ]
+    entries = spark.createDataFrame(rows, _ENTRY_T)
+    dept_df, def_df = _dims_from_jobs(spark, mod.jobs)
+    jobs, quarantine = poi_jobs(entries, dept_df, def_df, order_by=["_idx"])
+    _compare_jobs(jobs.collect(), mod.jobs, JOB_FIELDS)
+    assert quarantine.count() == 0
+
+
+_AFF_ENTRY_T = T.StructType(
+    [
+        T.StructField("_idx", T.LongType()),
+        T.StructField("emplid", T.StringType()),
+        T.StructField("deptid", T.StringType()),
+        T.StructField("um_campus", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("um_affiliate_id", T.StringType()),
+        T.StructField("um_affil_relation", T.StringType()),
+        T.StructField("effdt", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("status_flg", T.StringType()),
+    ]
+)
+
+
+@pytest.mark.parametrize("name", AFFILIATE_FIXTURES)
+def test_affiliate_jobs_pipeline_reproduces_reference(spark, name):
+    from experts_etl_spark.plans.jobs_pipeline import affiliate_jobs
+
+    mod = load_fixture(name)
+    if not hasattr(mod, "jobs"):
+        pytest.skip(f"{name} has no jobs stage")
+    rows = [
+        (
+            i,
+            e["emplid"],
+            e["deptid"],
+            e["um_campus"],
+            e["title"],
+            e["um_affiliate_id"],
+            e["um_affil_relation"],
+            e["effdt"],
+            e["status"],
+            e["status_flg"],
+        )
+        for i, e in enumerate(mod.entries)
+    ]
+    entries = spark.createDataFrame(rows, _AFF_ENTRY_T)
+    dept_df, def_df = _dims_from_jobs(spark, mod.jobs, affiliate=True)
+    jobs, quarantine = affiliate_jobs(entries, dept_df, def_df, order_by=["_idx"])
+    _compare_jobs(jobs.collect(), mod.jobs, AFF_JOB_FIELDS)
+    assert quarantine.count() == 0
