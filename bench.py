@@ -29,6 +29,7 @@ HEADLINE = [
     "cdc_compaction",
     "cdc_end_to_end",
     "override_coalesce",
+    "employee_jobs_transform",
     "multi_format_dates",
     # hierarchy / serialization / skew packs
     "tree_depths",

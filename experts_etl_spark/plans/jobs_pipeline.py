@@ -117,6 +117,7 @@ def _emp_poi_jobs(
     open_job = F.col("end_date").isNull()
     return (
         jobs.select(
+            "emplid",
             F.col("jobcode").alias("affiliation_id"),
             "deptid",
             "um_campus",
@@ -220,6 +221,7 @@ def affiliate_jobs(
     )
     return (
         jobs.select(
+            "emplid",
             F.col("um_affil_relation").alias("affiliation_id"),
             "deptid",
             "um_campus",

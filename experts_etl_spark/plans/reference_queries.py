@@ -1449,6 +1449,157 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "employee_jobs_transform",
+    """
+    WITH entries AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS emplid,
+             CAST(o_orderkey % 3 AS VARCHAR) AS empl_rcdno,
+             o_orderdate AS effdt,
+             o_orderkey AS ord,
+             CAST(o_custkey % 4 AS VARCHAR) AS position_nbr,
+             substr(o_orderpriority, 1, 1) AS jobcode,
+             o_orderpriority AS jobcode_descr,
+             CASE o_orderstatus WHEN 'O' THEN 'A' WHEN 'P' THEN 'L' ELSE 'T' END AS empl_status,
+             CAST(o_custkey % 3 AS VARCHAR) AS deptid,
+             CASE WHEN o_custkey % 2 = 0 THEN 'TXXX' ELSE 'ZZZZ' END AS um_campus,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'C' ELSE 'H' END AS status_flg,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                  THEN o_orderdate + INTERVAL 30 DAY END AS last_date_worked,
+             CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS job_entry_dt
+      FROM orders
+    ),
+    g1 AS (
+      SELECT *, CASE WHEN lag(jobcode) OVER w IS NULL
+                      OR lag(jobcode) OVER w <> jobcode
+                      OR lag(deptid) OVER w <> deptid
+                      OR lag(job_entry_dt) OVER w <> job_entry_dt
+                 THEN 1 ELSE 0 END AS chg
+      FROM entries
+      WINDOW w AS (PARTITION BY emplid, position_nbr ORDER BY effdt, ord)
+    ),
+    g2 AS (
+      SELECT *, sum(chg) OVER (PARTITION BY emplid, position_nbr
+                               ORDER BY effdt, ord ROWS UNBOUNDED PRECEDING) AS group_id
+      FROM g1
+    ),
+    g3 AS (
+      SELECT *, row_number() OVER (PARTITION BY emplid, position_nbr, group_id
+                                   ORDER BY effdt, ord) AS rn
+      FROM g2
+    ),
+    g4 AS (
+      SELECT *,
+             min(CASE WHEN status_flg = 'C' THEN rn END) OVER gp AS first_c,
+             max(rn) OVER gp AS n_rows,
+             max(CASE WHEN last_date_worked IS NOT NULL
+                       AND empl_status NOT IN ('A','L','P','W')
+                  THEN last_date_worked END) OVER gp AS max_ldw
+      FROM g3
+      WINDOW gp AS (PARTITION BY emplid, position_nbr, group_id)
+    ),
+    g5 AS (
+      SELECT *,
+             max(CASE WHEN rn = first_c AND empl_status IN ('A','L','P','W')
+                  THEN 1 ELSE 0 END) OVER gp = 1 AS is_active
+      FROM g4
+      WINDOW gp AS (PARTITION BY emplid, position_nbr, group_id)
+    ),
+    ref AS (SELECT * FROM g5 WHERE rn = coalesce(first_c, n_rows)),
+    led AS (
+      SELECT *, lead(job_entry_dt) OVER (PARTITION BY emplid, position_nbr
+                                         ORDER BY group_id) AS next_start
+      FROM ref
+    ),
+    ended AS (
+      SELECT *,
+             coalesce(
+               CASE WHEN first_c IS NULL AND next_start IS NOT NULL
+                     AND max_ldw IS NULL THEN next_start END,
+               CASE WHEN NOT is_active THEN coalesce(max_ldw, effdt) END
+             ) AS end_date
+      FROM led
+    ),
+    dept_org(deptid, org_id) AS (VALUES ('0','ORG0'),('1','ORG1'),('2','ORG2')),
+    defaults(jobcode, descr, employed_as, staff_type_d, visibility_d, profiled_d) AS (
+      VALUES ('1','DESC1','ET1','academic','Public',true),
+             ('2','DESC2','ET2','academic','Restricted',false),
+             ('3','DESC3','ET3','nonacademic','Public',true),
+             ('4','DESC4','ET4','nonacademic','Restricted',false),
+             ('5','DESC5','ET5','nonacademic','Public',false)
+    )
+    SELECT e.emplid, e.jobcode AS affiliation_id, e.deptid, e.um_campus, o.org_id,
+           e.empl_rcdno, e.jobcode_descr AS job_title,
+           d.descr AS job_description, d.employed_as AS employment_type,
+           CASE WHEN e.end_date IS NULL THEN d.staff_type_d
+                ELSE 'nonacademic' END AS staff_type,
+           e.job_entry_dt AS start_date, e.end_date,
+           CASE WHEN e.end_date IS NULL AND e.um_campus IN ('TXXX','DXXX')
+                THEN d.visibility_d ELSE 'Restricted' END AS visibility,
+           CASE WHEN e.end_date IS NULL THEN d.profiled_d ELSE false END AS profiled
+    FROM ended e JOIN dept_org o USING (deptid) JOIN defaults d USING (jobcode)
+    """,
+)
+def employee_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest composition (transform_entry_groups,
+    oit_to_edw/employee_job.py:74-203) end-to-end over a jobs-shaped
+    projection of ``orders``: run-grouping → reference-entry pick →
+    active/ldw end-dating → next-group cap → broadcast dim joins →
+    default cascades.  Golden parity against the reference's own
+    fixtures is in tests/test_reference_fixture_parity.py; this entry
+    puts the same pipeline under the driver's hash gate at scale."""
+    from experts_etl_spark.plans.jobs_pipeline import employee_jobs
+
+    o = read_table(spark, sf_dir, "orders")
+    entries = o.select(
+        F.col("o_custkey").cast("string").alias("emplid"),
+        (F.col("o_orderkey") % 3).cast("string").alias("empl_rcdno"),
+        F.col("o_orderdate").alias("effdt"),
+        F.col("o_orderkey").alias("_ord"),
+        (F.col("o_custkey") % 4).cast("string").alias("position_nbr"),
+        F.substring("o_orderpriority", 1, 1).alias("jobcode"),
+        F.col("o_orderpriority").alias("jobcode_descr"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("A"))
+        .when(F.col("o_orderstatus") == "P", F.lit("L"))
+        .otherwise(F.lit("T"))
+        .alias("empl_status"),
+        (F.col("o_custkey") % 3).cast("string").alias("deptid"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("TXXX"))
+        .otherwise(F.lit("ZZZZ"))
+        .alias("um_campus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("C"))
+        .otherwise(F.lit("H"))
+        .alias("status_flg"),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 5 == 0),
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        ).alias("last_date_worked"),
+        F.date_trunc("year", "o_orderdate").alias("job_entry_dt"),
+    )
+    dept_org = spark.createDataFrame(
+        [("0", "ORG0"), ("1", "ORG1"), ("2", "ORG2")], ["deptid", "org_id"]
+    )
+    defaults = spark.createDataFrame(
+        [
+            (
+                jc,
+                f"DESC{jc}",
+                f"ET{jc}",
+                "academic" if jc in ("1", "2") else "nonacademic",
+                "Public" if int(jc) % 2 == 1 else "Restricted",
+                jc in ("1", "3"),
+            )
+            for jc in "12345"
+        ],
+        "jobcode string, pure_job_description string, default_employed_as string,"
+        " default_staff_type string, default_visibility string, default_profiled boolean",
+    )
+    jobs, _quarantine = employee_jobs(
+        entries, dept_org, defaults, order_by=["effdt", "_ord"]
+    )
+    return jobs
+
+
+@query(
     "pure_user_sync_xml",
     """
     WITH esc AS (
