@@ -12,7 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from experts_etl_spark.llm.text import fingerprint, words
@@ -92,15 +92,42 @@ def doc_shingles(
     return sh.filter(F.col("_tail").isNotNull()).drop("_tail").distinct()
 
 
+def with_max_df(block: DataFrame, key_col: str, max_df: int | None) -> DataFrame:
+    """Frequency cap for blocked self-joins: drop block keys appearing in
+    more than ``max_df`` documents.
+
+    At corpus scale a handful of stop-shingles ("of the and") hit
+    millions of documents; the self-join on such a key is quadratic IN
+    THAT KEY and AQE skew splitting cannot help (it splits partitions,
+    not the m×m pair blowup).  Capping document frequency drops only
+    keys that are useless for similarity anyway (present everywhere ⇒
+    no discriminating power); the winnowing/LSH guarantees degrade
+    gracefully and high-similarity pairs still share many rare keys.
+    ``None`` = exact (no cap)."""
+    if max_df is None:
+        return block
+    w = Window.partitionBy(key_col)
+    return (
+        block.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame, text_col: str, id_col: str, threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle-blocked self-join.
 
     |A∩B| comes from the join; |A∪B| = |A|+|B|−|A∩B|.  All integer
     arithmetic until the final division (deterministic double).
+    ``max_df`` enables the scale-safe approximation (see
+    :func:`with_max_df`) — intersections are then computed over
+    sub-``max_df``-frequency shingles only, so set sizes use the same
+    capped universe to keep the Jaccard ratio consistent.
     """
-    sh = doc_shingles(df, text_col, id_col)
+    sh = with_max_df(doc_shingles(df, text_col, id_col), "shingle", max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,7 +169,8 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    signatures: DataFrame, id_col: str, band_rows: int = BAND_ROWS
+    signatures: DataFrame, id_col: str, band_rows: int = BAND_ROWS,
+    max_df: int | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band of the signature into a key; docs
     sharing any (band_idx, band_key) are candidates.  The self-join is
@@ -168,6 +196,7 @@ def lsh_candidates(
     stacked = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_b.band_idx", "_b.band_key")
+    stacked = with_max_df(stacked, "band_key", max_df)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -275,13 +304,17 @@ def winnow_fingerprint_sets(
 
 def winnow_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float,
-    k: int = 4, w: int = 3,
+    k: int = 4, w: int = 3, max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap coefficient
     |F1∩F2| / min(|F1|,|F2|) ≥ threshold.  The self-join is blocked on
     the fingerprint (shuffle key = fp) — winnowing keeps ~1/w of the
-    gram hashes, so this moves w× less data than the full shingle join."""
+    gram hashes, so this moves w× less data than the full shingle join.
+    ``max_df`` drops fingerprints shared by more than that many docs
+    (stop-shingle skew guard, :func:`with_max_df`); n_fp set sizes are
+    computed BEFORE the cap so overlap stays a true lower bound."""
     fps = winnow_fingerprint_sets(df, text_col, id_col, k, w)
+    fps = with_max_df(fps, "fp", max_df)
     a, b = fps.alias("a"), fps.alias("b")
     inter = (
         a.join(b, on="fp")

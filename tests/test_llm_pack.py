@@ -159,3 +159,40 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....")
+
+
+def test_max_df_cap_drops_stop_shingles_keeps_near_dups(spark):
+    """Skew guard: a shingle present in every doc is dropped by the cap,
+    shrinking the join input, while near-dup pairs (sharing RARE
+    shingles) survive with their overlap intact."""
+    from experts_etl_spark.llm.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+        winnow_pairs,
+        with_max_df,
+    )
+
+    common = "lorem ipsum dolor"
+    rows = [
+        (1, f"{common} alpha beta gamma delta"),
+        (2, f"{common} alpha beta gamma delta"),          # dup of 1
+        (3, f"{common} epsilon zeta eta theta"),
+        (4, f"{common} iota kappa lam mu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = doc_shingles(df, "text", "doc_id")
+    capped = with_max_df(sh, "shingle", 2)
+    # the 'lorem ipsum dolor' shingle appears in all 4 docs → dropped
+    assert capped.filter(F.col("shingle") == common).count() == 0
+    assert sh.filter(F.col("shingle") == common).count() == 4
+    # duplicate pair still found at full strength under the cap
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", 0.5, max_df=2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    wp = {
+        (r.id1, r.id2)
+        for r in winnow_pairs(df, "text", "doc_id", 0.5, max_df=2).collect()
+    }
+    assert (1, 2) in wp
