@@ -179,8 +179,13 @@ def affiliate_jobs(
     """Affiliate stint transform (oit_to_edw/affiliate_job.py:53-105):
     W3 stints per (deptid, um_affiliate_id, um_affil_relation), job per
     stint from its LAST entry; end_date = last.effdt unless the last
-    entry is active-and-current; defaults applied unconditionally."""
-    keys = ["deptid", "um_affiliate_id", "um_affil_relation"]
+    entry is active-and-current; defaults applied unconditionally.
+
+    The reference runs per person (entries extracted per emplid), so the
+    set-at-a-time grouping key must ALSO include emplid — without it,
+    different people's entries sharing a (deptid, affiliate_id,
+    relation) triple would merge into one stint stream."""
+    keys = ["emplid", "deptid", "um_affiliate_id", "um_affil_relation"]
     order = [F.col(c) for c in order_by]
     st = split_stints(
         entries,

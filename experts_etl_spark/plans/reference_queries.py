@@ -1600,6 +1600,127 @@ def employee_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "affiliate_jobs_transform",
+    """
+    WITH entries AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS emplid,
+             CAST(o_custkey % 3 AS VARCHAR) AS deptid,
+             CASE WHEN o_custkey % 2 = 0 THEN 'TXXX' ELSE 'ZZZZ' END AS um_campus,
+             o_orderpriority AS title,
+             CAST(o_custkey % 2 AS VARCHAR) AS um_affiliate_id,
+             substr(o_orderpriority, 1, 1) AS um_affil_relation,
+             o_orderdate AS effdt,
+             o_orderkey AS ord,
+             CASE o_orderstatus WHEN 'O' THEN 'A' WHEN 'P' THEN 'I' ELSE 'T' END AS status,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'C' ELSE 'H' END AS status_flg
+      FROM orders
+    ),
+    e1 AS (
+      SELECT *, row_number() OVER (PARTITION BY emplid, deptid, um_affiliate_id, um_affil_relation
+                                   ORDER BY effdt, ord) AS rn
+      FROM entries
+    ),
+    e2 AS (
+      SELECT *, min(CASE WHEN status_flg = 'C' THEN rn END)
+                  OVER (PARTITION BY emplid, deptid, um_affiliate_id, um_affil_relation) AS c_rn
+      FROM e1
+    ),
+    e3 AS (SELECT * FROM e2 WHERE c_rn IS NULL OR rn <= c_rn),
+    e4 AS (
+      SELECT *, lag(status = 'A') OVER (PARTITION BY emplid, deptid, um_affiliate_id, um_affil_relation
+                                        ORDER BY rn) AS prev_active
+      FROM e3
+    ),
+    e5 AS (
+      SELECT *, sum(CASE WHEN status = 'A' AND (prev_active IS NULL OR NOT prev_active)
+                     THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY emplid, deptid, um_affiliate_id, um_affil_relation
+                        ORDER BY rn ROWS UNBOUNDED PRECEDING) AS stint_id
+      FROM e4
+    ),
+    e6 AS (
+      SELECT *, row_number() OVER sw AS rn2, first_value(effdt) OVER sw AS start_date
+      FROM e5
+      WINDOW sw AS (PARTITION BY emplid, deptid, um_affiliate_id, um_affil_relation, stint_id
+                    ORDER BY rn)
+    ),
+    e7 AS (
+      SELECT *, max(rn2) OVER (PARTITION BY emplid, deptid, um_affiliate_id,
+                               um_affil_relation, stint_id) AS n2
+      FROM e6
+    ),
+    last AS (SELECT * FROM e7 WHERE rn2 = n2),
+    dept_org(deptid, org_id) AS (VALUES ('0','ORG0'),('1','ORG1'),('2','ORG2')),
+    defaults(jc, descr, employed_as, staff_type_d, visibility_d, profiled_d) AS (
+      VALUES ('1','ADESC1','AET1','academic','Public',true),
+             ('2','ADESC2','AET2','nonacademic','Restricted',false),
+             ('3','ADESC3','AET3','nonacademic','Public',true),
+             ('4','ADESC4','AET4','academic','Restricted',false),
+             ('5','ADESC5','AET5','nonacademic','Public',false)
+    )
+    SELECT l.emplid, l.um_affil_relation AS affiliation_id, l.deptid, l.um_campus,
+           o.org_id, l.title AS job_title, d.descr AS job_description,
+           d.employed_as AS employment_type, d.staff_type_d AS staff_type,
+           l.start_date,
+           CASE WHEN l.status <> 'A' OR l.status_flg = 'H' THEN l.effdt END AS end_date,
+           d.visibility_d AS visibility, d.profiled_d AS profiled
+    FROM last l JOIN dept_org o USING (deptid)
+    JOIN defaults d ON l.um_affil_relation = d.jc
+    """,
+)
+def affiliate_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affiliate stint transform end-to-end (oit_to_edw/affiliate_job.py:
+    53-105 over split_entries_into_stints:111-147): W3 stop-after-closed
+    stint splitting → last-entry job derivation → broadcast dims.
+    Golden parity vs the reference's fake* fixtures is in
+    tests/test_reference_fixture_parity.py."""
+    from experts_etl_spark.plans.jobs_pipeline import affiliate_jobs
+
+    o = read_table(spark, sf_dir, "orders")
+    entries = o.select(
+        F.col("o_custkey").cast("string").alias("emplid"),
+        (F.col("o_custkey") % 3).cast("string").alias("deptid"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("TXXX"))
+        .otherwise(F.lit("ZZZZ"))
+        .alias("um_campus"),
+        F.col("o_orderpriority").alias("title"),
+        (F.col("o_custkey") % 2).cast("string").alias("um_affiliate_id"),
+        F.substring("o_orderpriority", 1, 1).alias("um_affil_relation"),
+        F.col("o_orderdate").alias("effdt"),
+        F.col("o_orderkey").alias("_ord"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("A"))
+        .when(F.col("o_orderstatus") == "P", F.lit("I"))
+        .otherwise(F.lit("T"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("C"))
+        .otherwise(F.lit("H"))
+        .alias("status_flg"),
+    )
+    dept_org = spark.createDataFrame(
+        [("0", "ORG0"), ("1", "ORG1"), ("2", "ORG2")], ["deptid", "org_id"]
+    )
+    defaults = spark.createDataFrame(
+        [
+            (
+                jc,
+                f"ADESC{jc}",
+                f"AET{jc}",
+                "academic" if jc in ("1", "4") else "nonacademic",
+                "Public" if int(jc) % 2 == 1 else "Restricted",
+                jc in ("1", "3"),
+            )
+            for jc in "12345"
+        ],
+        "jobcode string, pure_job_description string, default_employed_as string,"
+        " default_staff_type string, default_visibility string, default_profiled boolean",
+    )
+    jobs, _quarantine = affiliate_jobs(
+        entries, dept_org, defaults, order_by=["effdt", "_ord"]
+    )
+    return jobs
+
+
+@query(
     "pure_user_sync_xml",
     """
     WITH esc AS (
