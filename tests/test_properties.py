@@ -123,3 +123,72 @@ def test_sessionize_gap_property(spark, rows):
                 assert cur.session_id == prev.session_id + 1
             else:
                 assert cur.session_id == prev.session_id
+
+
+# Winnowing guarantee (Schleimer/Wilkerson/Aiken §2): documents sharing
+# a run of at least k+w-1 consecutive words share at least one selected
+# fingerprint — the property LSH-style sampling can't give you.
+_words = st.sampled_from("aa bb cc dd ee ff gg hh".split())
+_docs = st.lists(_words, min_size=6, max_size=18)
+
+
+@given(_docs, _docs, st.integers(0, 10))
+@SET
+def test_winnow_shared_run_guarantee(spark, w1, w2, seed):
+    from experts_etl_spark.llm.dedup import winnow_fingerprint_sets
+
+    K, W = 4, 3
+    run_len = K + W - 1
+    # plant a guaranteed common run drawn from doc 1 into doc 2
+    if len(w1) >= run_len:
+        start = seed % (len(w1) - run_len + 1)
+        run = w1[start : start + run_len]
+        pos = seed % (len(w2) + 1)
+        w2 = w2[:pos] + run + w2[pos:]
+        planted = True
+    else:
+        planted = False
+    df = spark.createDataFrame(
+        [(1, " ".join(w1)), (2, " ".join(w2))], ["doc_id", "text"]
+    )
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprint_sets(df, "text", "doc_id", K, W).collect():
+        fps[r.doc_id].add(r.fp)
+    if planted:
+        assert fps[1] & fps[2], (w1, w2)
+
+
+@given(entries)
+@SET
+def test_split_stints_partition_invariants(spark, rows):
+    """Stints are dense per key, every active-after-inactive boundary
+    starts a new stint, and no row survives past the first closed row."""
+    from experts_etl_spark.operators import split_stints
+
+    df = spark.createDataFrame(
+        [(k, i, s) for i, (k, _, s) in enumerate(rows)], ["k", "uid", "state"]
+    )
+    out = split_stints(
+        df,
+        keys=["k"],
+        order_by=["uid"],
+        status_col="state",
+        active_statuses=["a"],
+        closed_status="c",
+    ).collect()
+    by_key: dict = {}
+    for r in sorted(out, key=lambda r: (r.k, r.uid)):
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        # no row after the first closed row
+        closed = [i for i, r in enumerate(rs) if r.state == "c"]
+        assert not closed or closed[0] == len(rs) - 1
+        # stint ids are non-decreasing and step by at most 1
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.stint_id in (prev.stint_id, prev.stint_id + 1)
+            # a new stint starts exactly when active follows inactive
+            if (cur.state == "a") != (prev.state == "a"):
+                if cur.state == "a":
+                    assert cur.stint_id == prev.stint_id + 1
+                else:
+                    assert cur.stint_id == prev.stint_id

@@ -872,3 +872,30 @@ def test_affiliate_jobs_pipeline_reproduces_reference(spark, name):
     jobs, quarantine = affiliate_jobs(entries, dept_df, def_df, order_by=["_idx"])
     _compare_jobs(jobs.collect(), mod.jobs, AFF_JOB_FIELDS)
     assert quarantine.count() == 0
+
+
+def test_employee_jobs_unknown_dept_quarantined(spark):
+    """J1 null branch: a reference entry whose deptid is missing from the
+    dept→org dim produces NO job and ONE quarantine row
+    (record_unknown_dept_errors, employee_job.py:118-138)."""
+    from experts_etl_spark.plans.jobs_pipeline import employee_jobs
+
+    mod = load_fixture("employee_jobs_1217312")
+    rows = [
+        (
+            i, e["emplid"], e["empl_rcdno"], e["effdt"], str(e["effseq"]),
+            e["position_nbr"], e["jobcode"], e["jobcode_descr"],
+            e["empl_status"], e["deptid"], e["um_campus"], e["status_flg"],
+            e.get("last_date_worked"), e["job_entry_dt"],
+        )
+        for i, e in enumerate(mod.entries)
+    ]
+    entries = spark.createDataFrame(rows, _ENTRY_T)
+    dept_df, def_df = _dims_from_jobs(spark, mod.jobs)
+    empty_dept = dept_df.filter(F.lit(False))
+    jobs, quarantine = employee_jobs(entries, empty_dept, def_df, order_by=["_idx"])
+    assert jobs.count() == 0
+    q = quarantine.collect()
+    assert len(q) == len(mod.jobs)  # one per would-be job
+    assert {r.deptid for r in q} == {j["deptid"] for j in mod.jobs}
+    assert all(r.emplid == mod.entries[0]["emplid"] for r in q)
