@@ -64,14 +64,19 @@ def compact_changes(
     """C3/C4/W7: event-log compaction — per key, latest version wins and
     drives the action; all versions remain archived by the caller
     (changes_buffer_managers.py:4-21 orders versions desc per uuid and
-    acts on the head).  Also dedups exact (key, version) repeats in the
-    batch (pure_to_edw/changes.py:92-100)."""
-    deduped = changes.dropDuplicates([key, version_col])
+    acts on the head).
+
+    The reference's separate in-batch (uuid, version) dedup
+    (pure_to_edw/changes.py:92-100) is SUBSUMED by the head-of-key pick:
+    row_number()==1 emits one row per key no matter how many duplicate
+    versions arrive, so an explicit ``dropDuplicates([key, version])``
+    stage would add a shuffle on a DIFFERENT key (key, version) for zero
+    semantic effect."""
     w = Window.partitionBy(key).orderBy(
         F.col(version_col).desc(), *list(order_extra)
     )
     return (
-        deduped.withColumn("_rn", F.row_number().over(w))
+        changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

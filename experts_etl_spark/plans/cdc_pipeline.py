@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from experts_etl_spark.operators import (
     compact_changes,
     delete_cascade,
-    filter_new_versions,
     merge_upsert,
     split_actions,
 )
@@ -49,8 +48,17 @@ def consume_cycle(
     incoming = ev.filter(F.col("ts") > cut)
     # P5 required fields are non-null by schema here; P3 family whitelist:
     gated = incoming.filter(~F.col("event_type").isin(*FAMILY_BLOCKLIST))
-    # C2 idempotent ingest vs everything already consumed
-    fresh = filter_new_versions(gated, history, key="user_id", version_col="event_id")
+    # C2 idempotent ingest: the compacted target already IS the per-key
+    # max version of the history, so the version guard joins against it
+    # directly — filter_new_versions(gated, history) would re-aggregate
+    # and re-scan the history subtree (one extra shuffle + one extra
+    # scan for a value the plan has already computed).
+    stored_v = target.select("user_id", F.col("event_id").alias("_stored_v"))
+    fresh = (
+        gated.join(stored_v, ["user_id"], "left")
+        .filter(F.col("_stored_v").isNull() | (F.col("event_id") > F.col("_stored_v")))
+        .drop("_stored_v")
+    )
     # C3/C4 latest-version-wins compaction drives the action
     compacted = compact_changes(fresh, key="user_id", version_col="event_id")
     upserts, deletes = split_actions(

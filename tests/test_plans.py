@@ -97,13 +97,15 @@ def test_no_cartesian_products_anywhere(spark):
 
 def test_composite_pipelines_shuffle_budget(spark):
     """person_360: one shuffle key end-to-end plus a broadcast dim.
-    cdc_end_to_end chains 5 keyed stages (2 compactions, version guard,
-    anti-join, merge window) and unions break partitioning reuse — 8
-    exchanges today, all on user_id (bucketed layout or a persisted
-    repartition would collapse them on a lake).  The bound pins against
-    regression, not perfection."""
+    cdc_end_to_end chains 5 keyed stages, all on user_id: the redundant
+    (key, version) dedup shuffle inside compaction is gone (subsumed by
+    the head-of-key pick) and the version guard joins the compacted
+    target instead of re-aggregating history — 8 exchanges down to 5.
+    Unions still break partitioning reuse for the final merge window
+    (bucketed layout or a persisted repartition would collapse those on
+    a lake).  The bound pins against regression, not perfection."""
     p = plan_of(QUERIES["person_360"](spark, SF_SMOKE))
     assert shuffles(p) == 1, shuffles(p)
     assert "BroadcastHashJoin" in p
     c = plan_of(QUERIES["cdc_end_to_end"](spark, SF_SMOKE))
-    assert shuffles(c) <= 8, shuffles(c)
+    assert shuffles(c) <= 5, shuffles(c)
