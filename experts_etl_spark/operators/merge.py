@@ -102,11 +102,31 @@ def reconcile_sets(
     Reference computes ``api_org_uuids - db_org_uuids`` and the inverse
     with Python sets per person
     (transformer_loaders/pure_api_internal_person.py:163-173,306-311).
-    Set-at-a-time it is two anti-joins over the full association tables.
+
+    ONE full-outer join instead of two anti-joins: both directions fall
+    out of the same joined frame (current-side-null → add,
+    desired-side-null → delete), so each input is scanned and shuffled
+    once instead of twice — at association-table scale that halves the
+    I/O of the reconciliation.  Precondition (same as the reference's
+    set semantics): each side is keyed — at most one row per ``on``
+    tuple.
     """
     on = list(on)
-    to_add = desired.join(current, on, "left_anti")
-    to_delete = current.join(desired, on, "left_anti")
+    c_extra = [c for c in current.columns if c not in on]
+    d_extra = [c for c in desired.columns if c not in on]
+    c = current.select(
+        *on, *[F.col(x).alias(f"_cur_{x}") for x in c_extra]
+    ).withColumn("_in_cur", F.lit(1))
+    d = desired.select(
+        *on, *[F.col(x).alias(f"_des_{x}") for x in d_extra]
+    ).withColumn("_in_des", F.lit(1))
+    j = c.join(d, on, "full_outer")
+    to_add = j.filter(F.col("_in_cur").isNull()).select(
+        *on, *[F.col(f"_des_{x}").alias(x) for x in d_extra]
+    )
+    to_delete = j.filter(F.col("_in_des").isNull()).select(
+        *on, *[F.col(f"_cur_{x}").alias(x) for x in c_extra]
+    )
     return to_add, to_delete
 
 
