@@ -99,11 +99,16 @@ def archive_processed(
 ) -> tuple[DataFrame, DataFrame]:
     """M9: buffer → history archival.  Returns ``(to_history,
     remaining_buffer)``: processed rows append to the ``_hst`` table,
-    the rest stay buffered (changes_buffer_managers.py:23-44).  Both
-    sides derive from one semi/anti join pair — exactly-once is the
-    caller's output-commit concern."""
+    the rest stay buffered (changes_buffer_managers.py:23-44).
+
+    One marker left-join instead of a semi/anti pair: both outputs
+    filter the SAME joined frame, so the buffer subtree is identical in
+    both branches and Spark's exchange reuse evaluates it once — the
+    semi+anti formulation shuffled and scanned the buffer twice.
+    Exactly-once is the caller's output-commit concern."""
     on = list(on)
-    keys = processed_keys.select(*on).distinct()
-    to_history = buffer.join(keys, on, "left_semi")
-    remaining = buffer.join(keys, on, "left_anti")
+    keys = processed_keys.select(*on).distinct().withColumn("_p", F.lit(1))
+    marked = buffer.join(keys, on, "left")
+    to_history = marked.filter(F.col("_p").isNotNull()).drop("_p")
+    remaining = marked.filter(F.col("_p").isNull()).drop("_p")
     return to_history, remaining
