@@ -30,6 +30,7 @@ HEADLINE = [
     "cdc_end_to_end",
     "override_coalesce",
     "employee_jobs_transform",
+    "person_assembly_cycle",
     "multi_format_dates",
     # hierarchy / serialization / skew packs
     "tree_depths",

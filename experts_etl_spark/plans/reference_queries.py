@@ -1448,9 +1448,7 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return person_sync_frame(spark, sf_dir)
 
 
-@query(
-    "employee_jobs_transform",
-    """
+_EMP_JOBS_SQL = """
     WITH entries AS (
       SELECT CAST(o_custkey AS VARCHAR) AS emplid,
              CAST(o_orderkey % 3 AS VARCHAR) AS empl_rcdno,
@@ -1537,7 +1535,12 @@ def person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN d.visibility_d ELSE 'Restricted' END AS visibility,
            CASE WHEN e.end_date IS NULL THEN d.profiled_d ELSE false END AS profiled
     FROM ended e JOIN dept_org o USING (deptid) JOIN defaults d USING (jobcode)
-    """,
+    """
+
+
+@query(
+    "employee_jobs_transform",
+    _EMP_JOBS_SQL,
 )
 def employee_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's hardest composition (transform_entry_groups,
@@ -1718,6 +1721,161 @@ def affiliate_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries, dept_org, defaults, order_by=["effdt", "_ord"]
     )
     return jobs
+
+
+@query(
+    "person_assembly_cycle",
+    f"""
+    WITH ejobs AS ({_EMP_JOBS_SQL}),
+    el AS (
+      SELECT *, row_number() OVER (PARTITION BY emplid ORDER BY
+          CASE WHEN end_date IS NULL AND empl_rcdno = '0' THEN 1
+               WHEN end_date IS NULL THEN 2
+               WHEN empl_rcdno = '0' THEN 3 ELSE 4 END,
+          start_date, empl_rcdno, affiliation_id, deptid, job_title,
+          org_id, um_campus,
+          coalesce(end_date, TIMESTAMP '9999-12-31 00:00:00')) AS prn
+      FROM ejobs
+    ),
+    roll AS (
+      SELECT *, (prn = 1) AS is_primary,
+             max(CASE WHEN prn = 1 THEN staff_type END)
+               OVER (PARTITION BY emplid) AS prim_staff,
+             max(CASE WHEN prn = 1 AND end_date IS NULL AND profiled
+                  THEN 1 ELSE 0 END) OVER (PARTITION BY emplid) = 1 AS person_profiled
+      FROM el
+    ),
+    assoc AS (
+      SELECT *,
+             CASE WHEN prim_staff = 'academic' THEN staff_type
+                  ELSE 'nonacademic' END AS staff_type2,
+             'autoid:' || emplid || '-' || org_id || '-' || job_title || '-'
+               || employment_type || '-' || strftime(start_date, '%Y-%m-%d')
+               AS staff_org_assoc_id
+      FROM roll
+    ),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY emplid, staff_org_assoc_id
+               ORDER BY CASE WHEN end_date IS NULL THEN 0 ELSE 1 END,
+                        coalesce(end_date, TIMESTAMP '9999-12-31 00:00:00'),
+                        affiliation_id, deptid, job_title) AS drn,
+             max(CASE WHEN is_primary THEN 1 ELSE 0 END)
+               OVER (PARTITION BY emplid, staff_org_assoc_id) = 1 AS any_primary
+      FROM assoc
+    ),
+    kept AS (SELECT * FROM dd WHERE drn = 1),
+    vis AS (
+      SELECT *, max(CASE WHEN visibility = 'Public' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY emplid) = 1 AS person_public
+      FROM kept
+    )
+    SELECT emplid, staff_org_assoc_id, affiliation_id, deptid, org_id,
+           job_title, job_description, employment_type,
+           staff_type2 AS staff_type, start_date, end_date, visibility,
+           any_primary AS is_primary, person_profiled AS profiled,
+           CASE WHEN person_public THEN 'Public' ELSE 'Restricted' END
+             AS person_visibility
+    FROM vis
+    """,
+)
+def person_assembly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE §3.2 person assembly (oit_to_edw/person.py:231-317):
+    jobs transform → primary election cascade (transform_primary_job)
+    → staff-type cascade (:461-469) → person profiled (:471-476) →
+    assoc-id + keep-best dedup (transform_staff_org_assoc_id:272-317)
+    → person visibility rollup (:257-261) — one DAG, one shuffle on
+    emplid after the jobs transform's own."""
+    from experts_etl_spark.operators.windows import dedupe_keep_best, elect_primary
+
+    jobs = employee_jobs_transform(spark, sf_dir)
+    end = F.col("end_date")
+    sentinel = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    prio = (
+        F.when(end.isNull() & (F.col("empl_rcdno") == "0"), 1)
+        .when(end.isNull(), 2)
+        .when(F.col("empl_rcdno") == "0", 3)
+        .otherwise(4)
+    )
+    ties = [
+        F.col("start_date"),
+        F.col("empl_rcdno"),
+        F.col("affiliation_id"),
+        F.col("deptid"),
+        F.col("job_title"),
+        F.col("org_id"),
+        F.col("um_campus"),
+        F.coalesce(end, sentinel),
+    ]
+    el = elect_primary(jobs, ["emplid"], prio, ties, flag_col="is_primary")
+    pw = Window.partitionBy("emplid")
+    el = (
+        el.withColumn(
+            "prim_staff",
+            F.max(F.when(F.col("is_primary"), F.col("staff_type"))).over(pw),
+        )
+        .withColumn(
+            "profiled_person",
+            F.max(
+                F.when(
+                    F.col("is_primary") & F.col("profiled") & end.isNull(), 1
+                ).otherwise(0)
+            ).over(pw)
+            == 1,
+        )
+        .withColumn(
+            "staff_type2",
+            F.when(F.col("prim_staff") == "academic", F.col("staff_type")).otherwise(
+                F.lit("nonacademic")
+            ),
+        )
+        .withColumn(
+            "staff_org_assoc_id",
+            X.synthetic_assoc_id(
+                F.col("emplid"),
+                F.col("org_id"),
+                F.col("job_title"),
+                F.col("employment_type"),
+                F.date_format("start_date", "yyyy-MM-dd"),
+            ),
+        )
+    )
+    kept = dedupe_keep_best(
+        el,
+        keys=["emplid", "staff_org_assoc_id"],
+        order_by=[
+            end.isNotNull().cast("int"),
+            F.coalesce(end, sentinel),
+            F.col("affiliation_id"),
+            F.col("deptid"),
+            F.col("job_title"),
+        ],
+        or_cols=["is_primary"],
+    )
+    out = kept.withColumn(
+        "person_visibility",
+        F.when(
+            F.max(F.when(F.col("visibility") == "Public", 1).otherwise(0)).over(pw)
+            == 1,
+            F.lit("Public"),
+        ).otherwise(F.lit("Restricted")),
+    )
+    return out.select(
+        "emplid",
+        "staff_org_assoc_id",
+        "affiliation_id",
+        "deptid",
+        "org_id",
+        "job_title",
+        "job_description",
+        "employment_type",
+        F.col("staff_type2").alias("staff_type"),
+        "start_date",
+        "end_date",
+        "visibility",
+        "is_primary",
+        F.col("profiled_person").alias("profiled"),
+        "person_visibility",
+    )
 
 
 @query(
