@@ -40,6 +40,12 @@ from experts_etl_spark.operators.windows import (
 
 REF_TESTS = "/root/reference/tests"
 
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_TESTS), reason="reference checkout not present"
+)
+
 EMP_POI_FIXTURES = [
     "employee_jobs_0903070",
     "employee_jobs_1217312",
