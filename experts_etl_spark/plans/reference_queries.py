@@ -1878,6 +1878,52 @@ def person_assembly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("person_cycle_xml")  # rows-only: renderer byte-parity is proven
+# against the reference template in tests/test_reference_fixture_parity.py
+def person_cycle_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 + §3.4 end-to-end: jobs transform → person assembly →
+    nested-jobs grouping → byte-parity person.xml.j2 render — the
+    reference's whole oit_to_edw.person + edw_to_pure.person path as one
+    DAG (person.py:21-78 then edw_to_pure/person.py:23-47)."""
+    from experts_etl_spark.plans.xml_sync import pure_person_xml
+
+    jobs = person_assembly_cycle(spark, sf_dir)
+    jstruct = F.struct(
+        F.col("staff_org_assoc_id").alias("staff_org_association_id"),
+        F.col("affiliation_id"),
+        # the reference fans the person email into every job
+        # (oit_to_edw/person.py:259)
+        F.concat(F.lit("u"), F.col("emplid"), F.lit("@umn.edu")).alias(
+            "email_address"
+        ),
+        F.col("employment_type"),
+        F.col("is_primary").alias("primary_association"),
+        F.col("org_id"),
+        F.col("start_date").alias("period_start_date"),
+        F.col("end_date").alias("period_end_date"),
+        F.col("staff_type"),
+        F.col("job_description"),
+    )
+    per = jobs.groupBy("emplid", "profiled", "person_visibility").agg(
+        F.array_sort(F.collect_list(jstruct)).alias("jobs")
+    )
+    internet = F.concat(F.lit("u"), F.col("emplid"))
+    return per.select(
+        F.col("emplid").alias("person_id"),
+        pure_person_xml(
+            F.col("emplid"),
+            F.concat(F.lit("First"), F.col("emplid")),
+            F.concat(F.lit("Last"), F.col("emplid")),
+            F.lit(None).cast("string"),
+            F.col("emplid"),
+            internet,
+            F.col("person_visibility"),
+            F.col("profiled"),
+            F.col("jobs"),
+        ).alias("xml"),
+    )
+
+
 @query(
     "pure_user_sync_xml",
     """
