@@ -115,8 +115,14 @@ def _emp_poi_jobs(
     jobs = jobs.join(F.broadcast(jobcode_defaults), "jobcode")
 
     open_job = F.col("end_date").isNull()
+    passthrough = (
+        [F.col("default_profiled_overrideable")]
+        if "default_profiled_overrideable" in jobcode_defaults.columns
+        else []
+    )
     return (
         jobs.select(
+            *passthrough,
             "emplid",
             F.col("jobcode").alias("affiliation_id"),
             "deptid",
@@ -150,13 +156,69 @@ def employee_jobs(
     dept_org: DataFrame,
     jobcode_defaults: DataFrame,
     order_by: Sequence[str] = ("effdt", "effseq"),
+    known_override_pairs: DataFrame | None = None,
+    profiled_overrides: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """transform_entry_groups for employee jobs
     (oit_to_edw/employee_job.py:74-203): last_date_worked end-dating
     enabled.  ``dept_org`` needs (deptid, org_id); ``jobcode_defaults``
     needs (jobcode, pure_job_description, default_employed_as,
-    default_staff_type, default_visibility, default_profiled)."""
-    return _emp_poi_jobs(entries, dept_org, jobcode_defaults, True, order_by)
+    default_staff_type, default_visibility, default_profiled) and may
+    carry ``default_profiled_overrideable`` when the J3 override chain
+    is in play.
+
+    J3 override chain (employee_job.py:160-199): when an OPEN job's
+    jobcode is overrideable, a (jobcode, deptid) row in
+    ``profiled_overrides`` replaces the default ``profiled``;
+    ``known_override_pairs`` whitelists pairs that are ALLOWED to have
+    no override — an overrideable jobcode at an unknown pair keeps the
+    default but records an unknown-jobcode-deptid error (the reference
+    quarantines it without dropping the job).  Pass both to enable;
+    both are broadcast dims."""
+    jobs, quarantine = _emp_poi_jobs(
+        entries, dept_org, jobcode_defaults, True, order_by
+    )
+    if known_override_pairs is None:
+        return jobs, quarantine
+    known = known_override_pairs.select(
+        F.col("jobcode").alias("affiliation_id"), "deptid", F.lit(True).alias("_known")
+    )
+    ovr = (profiled_overrides or known_override_pairs.limit(0)).select(
+        F.col("jobcode").alias("affiliation_id"),
+        "deptid",
+        F.col("profiled").alias("_ovr_profiled"),
+    )
+    overrideable = (
+        F.col("default_profiled_overrideable")
+        if "default_profiled_overrideable" in jobs.columns
+        else F.lit(False)
+    )
+    joined = jobs.join(F.broadcast(known), ["affiliation_id", "deptid"], "left").join(
+        F.broadcast(ovr), ["affiliation_id", "deptid"], "left"
+    )
+    open_job = F.col("end_date").isNull()
+    out = joined.withColumn(
+        "profiled",
+        F.when(
+            open_job
+            & overrideable
+            & F.col("_known").isNotNull()
+            & F.col("_ovr_profiled").isNotNull(),
+            F.col("_ovr_profiled"),
+        ).otherwise(F.col("profiled")),
+    )
+    unknown_pairs = out.filter(
+        open_job & overrideable & F.col("_known").isNull()
+    ).select(
+        "emplid",
+        F.col("affiliation_id").alias("jobcode"),
+        "deptid",
+        "um_campus",
+    )
+    return (
+        out.drop("_known", "_ovr_profiled", "default_profiled_overrideable"),
+        quarantine.unionByName(unknown_pairs, allowMissingColumns=True),
+    )
 
 
 def poi_jobs(

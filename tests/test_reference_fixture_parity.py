@@ -905,3 +905,45 @@ def test_employee_jobs_unknown_dept_quarantined(spark):
     assert len(q) == len(mod.jobs)  # one per would-be job
     assert {r.deptid for r in q} == {j["deptid"] for j in mod.jobs}
     assert all(r.emplid == mod.entries[0]["emplid"] for r in q)
+
+
+def test_employee_jobs_profiled_override_chain(spark):
+    """J3 override chain (employee_job.py:160-199): overrideable jobcode
+    + known pair + override row → overridden profiled; known pair, no
+    override → default; UNKNOWN pair → default kept but quarantined;
+    closed jobs never profiled."""
+    from experts_etl_spark.plans.jobs_pipeline import employee_jobs
+
+    import datetime as dt
+
+    def entry(i, dept, status_flg="C", empl_status="A"):
+        return (
+            i, "e1", "0", dt.datetime(2020, 1, 1 + i), "0", f"P{i}", "JX",
+            "Job X", empl_status, dept, "TXXX", status_flg, None,
+            dt.datetime(2020, 1, 1 + i),
+        )
+
+    entries = spark.createDataFrame(
+        [entry(0, "D1"), entry(1, "D2"), entry(2, "D3")], _ENTRY_T
+    )
+    dept_df = spark.createDataFrame(
+        [("D1", "O1"), ("D2", "O2"), ("D3", "O3")], ["deptid", "org_id"]
+    )
+    def_df = spark.createDataFrame(
+        [("JX", "Desc", "ET", "academic", "Public", True, True)],
+        "jobcode string, pure_job_description string, default_employed_as string,"
+        " default_staff_type string, default_visibility string,"
+        " default_profiled boolean, default_profiled_overrideable boolean",
+    )
+    known = spark.createDataFrame([("JX", "D1"), ("JX", "D2")], ["jobcode", "deptid"])
+    overrides = spark.createDataFrame(
+        [("JX", "D1", False)], ["jobcode", "deptid", "profiled"]
+    )
+    jobs, quarantine = employee_jobs(
+        entries, dept_df, def_df, order_by=["_idx"],
+        known_override_pairs=known, profiled_overrides=overrides,
+    )
+    got = {r.deptid: r.profiled for r in jobs.collect()}
+    assert got == {"D1": False, "D2": True, "D3": True}
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0].deptid == "D3" and q[0].jobcode == "JX"

@@ -77,3 +77,51 @@ def test_export_csv_ordered_with_header(spark, tmp_path):
     lines = open(path).read().splitlines()
     assert n == 3
     assert lines == ["k,v", "1,a", "2,b", "3,c"]
+
+
+def test_bucketed_entries_make_jobs_pipeline_zero_exchange(spark):
+    """The jobs-transform window chain requires only co-location on
+    emplid: a table bucketed by emplid satisfies the window's clustered
+    distribution (hash(emplid) ⊆ cluster keys (emplid, position_nbr)),
+    so the ENTIRE entries→jobs pipeline plans with ZERO exchanges —
+    the lake layout a recurring 100 TB job-history feed should use."""
+    from experts_etl_spark.plans.jobs_pipeline import employee_jobs
+
+    import datetime as dt
+
+    rows = [
+        (i, str(100 + i % 7), "0", dt.datetime(2020, 1, 1 + i % 20), str(i % 2),
+         str(i % 3), "J1", "Job", "A", "D1", "TXXX", "H", None,
+         dt.datetime(2020, 1, 1))
+        for i in range(200)
+    ]
+    entries = spark.createDataFrame(
+        rows,
+        "_idx long, emplid string, empl_rcdno string, effdt timestamp,"
+        " effseq string, position_nbr string, jobcode string,"
+        " jobcode_descr string, empl_status string, deptid string,"
+        " um_campus string, status_flg string, last_date_worked timestamp,"
+        " job_entry_dt timestamp",
+    )
+    write_bucketed(entries, "b_entries", ["emplid"], n_buckets=4,
+                   sort_cols=["emplid"])
+    try:
+        dept = spark.createDataFrame([("D1", "O1")], ["deptid", "org_id"])
+        defaults = spark.createDataFrame(
+            [("J1", "Desc", "ET", "academic", "Public", True)],
+            "jobcode string, pure_job_description string,"
+            " default_employed_as string, default_staff_type string,"
+            " default_visibility string, default_profiled boolean",
+        )
+        jobs, _ = employee_jobs(
+            spark.table("b_entries"), dept, defaults, order_by=["effdt", "_idx"]
+        )
+        plan = jobs._sc._jvm.PythonSQLUtils.explainString(
+            jobs._jdf.queryExecution(), "simple"
+        )
+        import re
+
+        assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
+        assert jobs.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_entries")
