@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_winnow",
     "ann_topk_bucketed",
     "text_quality_metrics",
+    "corpus_curation",
 ]
 
 

@@ -299,6 +299,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
 
+@query(
+    "corpus_curation",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, text, {_W} AS w,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(w) AS INT) AS ws_tokens,
+             md5(array_to_string(w, ' ')) AS fp,
+             (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.5
+             + (least(CAST(n_chars AS DOUBLE), 400.0) / 400.0) * 0.3
+             + (1.0 - CAST(punct_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 0.2
+               AS quality
+      FROM m
+    ),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+    exact_kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    sh AS ({_SHINGLES}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS ({_JACCARD}),
+    near_losers AS (
+      SELECT DISTINCT c.id2 AS doc_id
+      FROM cands c JOIN jac j ON c.id1 = j.id1 AND c.id2 = j.id2
+      WHERE j.jaccard >= 0.5
+    )
+    SELECT k.doc_id, k.lang, k.ws_tokens, k.quality
+    FROM exact_kept k LEFT JOIN near_losers n ON k.doc_id = n.doc_id
+    WHERE n.doc_id IS NULL
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over ``documents``: quality
+    gate (≥0.5) → exact dedup (lowest doc_id keeps) → near-dup removal
+    (MinHash-LSH candidates verified at Jaccard ≥0.5 — the scale path;
+    higher id of each pair drops) → surviving
+    docs with token counts.  One composition of the text + dedup packs;
+    every stage blocked/keyed as its standalone query is.  The quality
+    double is bit-identical across engines (rational arithmetic only —
+    llm/text.py determinism rule)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        t.alias("text"),
+        T.ws_token_count(t).alias("ws_tokens"),
+        T.fingerprint(t).alias("fp"),
+        T.quality_score(t).alias("quality"),
+    )
+    gated = scored.filter(F.col("quality") >= 0.5)
+    from pyspark.sql import Window
+
+    exact_kept = (
+        gated.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    losers = (
+        minhash_lsh_dedup(d, "text", "doc_id", 0.5)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact_kept.join(losers, "doc_id", "left_anti")
+    return survivors.select("doc_id", "lang", "ws_tokens", "quality")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
