@@ -1538,6 +1538,14 @@ _EMP_JOBS_SQL = """
     """
 
 
+_POI_JOBS_SQL = _EMP_JOBS_SQL.replace(
+    """CASE WHEN o_orderstatus = 'F' AND o_orderkey %% 5 = 0
+                  THEN o_orderdate + INTERVAL 30 DAY END AS last_date_worked""".replace("%%", "%"),
+    "CAST(NULL AS TIMESTAMP) AS last_date_worked",
+)
+assert "INTERVAL 30 DAY" not in _POI_JOBS_SQL
+
+
 @query(
     "employee_jobs_transform",
     _EMP_JOBS_SQL,
@@ -1597,6 +1605,62 @@ def employee_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         " default_staff_type string, default_visibility string, default_profiled boolean",
     )
     jobs, _quarantine = employee_jobs(
+        entries, dept_org, defaults, order_by=["effdt", "_ord"]
+    )
+    return jobs
+
+
+@query("poi_jobs_transform", _POI_JOBS_SQL)
+def poi_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POI job transform (oit_to_edw/poi_job.py:75-164): the employee
+    cast with NO last_date_worked column — with ldw ≡ NULL the employee
+    and poi end-dating semantics provably coincide (the ldw guards all
+    pass vacuously), so the oracle is _EMP_JOBS_SQL with the ldw
+    expression nulled while the Spark side runs the genuine
+    ``poi_jobs`` pipeline (use_last_date_worked=False)."""
+    from experts_etl_spark.plans.jobs_pipeline import poi_jobs
+
+    o = read_table(spark, sf_dir, "orders")
+    entries = o.select(
+        F.col("o_custkey").cast("string").alias("emplid"),
+        (F.col("o_orderkey") % 3).cast("string").alias("empl_rcdno"),
+        F.col("o_orderdate").alias("effdt"),
+        F.col("o_orderkey").alias("_ord"),
+        (F.col("o_custkey") % 4).cast("string").alias("position_nbr"),
+        F.substring("o_orderpriority", 1, 1).alias("jobcode"),
+        F.col("o_orderpriority").alias("jobcode_descr"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("A"))
+        .when(F.col("o_orderstatus") == "P", F.lit("L"))
+        .otherwise(F.lit("T"))
+        .alias("empl_status"),
+        (F.col("o_custkey") % 3).cast("string").alias("deptid"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("TXXX"))
+        .otherwise(F.lit("ZZZZ"))
+        .alias("um_campus"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("C"))
+        .otherwise(F.lit("H"))
+        .alias("status_flg"),
+        F.date_trunc("year", "o_orderdate").alias("job_entry_dt"),
+    )
+    dept_org = spark.createDataFrame(
+        [("0", "ORG0"), ("1", "ORG1"), ("2", "ORG2")], ["deptid", "org_id"]
+    )
+    defaults = spark.createDataFrame(
+        [
+            (
+                jc,
+                f"DESC{jc}",
+                f"ET{jc}",
+                "academic" if jc in ("1", "2") else "nonacademic",
+                "Public" if int(jc) % 2 == 1 else "Restricted",
+                jc in ("1", "3"),
+            )
+            for jc in "12345"
+        ],
+        "jobcode string, pure_job_description string, default_employed_as string,"
+        " default_staff_type string, default_visibility string, default_profiled boolean",
+    )
+    jobs, _quarantine = poi_jobs(
         entries, dept_org, defaults, order_by=["effdt", "_ord"]
     )
     return jobs
