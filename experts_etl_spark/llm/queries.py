@@ -476,6 +476,52 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 
 
+def _kmeans_iter_sql(cprev: str, k: int) -> str:
+    return f"""
+    a{k} AS (SELECT vec_id, q, n2, cent_id FROM (
+      SELECT e.vec_id, e.q, e.n2, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) DESC,
+                        c.cent_id) AS rn
+      FROM n e CROSS JOIN {cprev} c) WHERE rn = 1),
+    s{k} AS (SELECT cent_id, i, sum(q[i]) AS s, count(*) AS cnt
+             FROM a{k} CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+    c{k} AS (SELECT cent_id, cq, list_dot_product(cq, cq) AS cn2 FROM (
+      SELECT cent_id, list(m ORDER BY i) AS cq FROM (
+        SELECT cent_id, i, floor(s / cnt) AS m FROM s{k}) GROUP BY cent_id))"""
+
+
+@query(
+    "ann_ivf_kmeans",
+    f"""
+    WITH n AS ({_NEMB}),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
+    {_kmeans_iter_sql('c0', 1)},
+    {_kmeans_iter_sql('c1', 2)},
+    fin AS (SELECT vec_id, cent_id, cos FROM (
+      SELECT e.vec_id, c.cent_id,
+             list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) DESC,
+                        c.cent_id) AS rn
+      FROM n e CROSS JOIN c2 c) WHERE rn = 1)
+    SELECT vec_id, cent_id, cos,
+           CAST(count(*) OVER (PARTITION BY cent_id) AS BIGINT) AS n_members
+    FROM fin
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse centroids refined by 2 deterministic Lloyd iterations
+    (integer-grid centroid update so both engines agree bit-for-bit);
+    returns the final cell assignment with cell sizes.  The oracle
+    hardcodes the 64-dim layout of the synthetic embeddings; the Spark
+    path is dimension-generic."""
+    from experts_etl_spark.llm.similarity import kmeans_refined_assign
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_refined_assign(e, "vec_id", "embedding", cent_mod=37, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

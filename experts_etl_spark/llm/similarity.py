@@ -205,3 +205,79 @@ def bucketed_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "cand_id", "rank", "cos")
     )
+
+
+def kmeans_refined_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_mod: int = 37,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF coarse quantizer refined by Lloyd iterations — deterministic
+    and cross-engine exact.
+
+    Init: every ``cent_mod``-th vector is a centroid (same deterministic
+    seed as :func:`ivf_topk`).  Each iteration assigns every vector to
+    its max-cosine centroid (broadcast centroids — the corpus never
+    shuffles for scoring) and recomputes centroids ON THE INTEGER GRID:
+    elementwise ``floor(sum/count)`` of the quantized coordinates.
+    Cosine is scale-invariant, so grid-rounded centroids lose <1e-7 of
+    direction while keeping every dot product a sum of exact-integer
+    products — no order-dependent float accumulation, hence a DuckDB
+    oracle can reproduce the run bit-for-bit.
+
+    Driver-side loop of ``iters`` rounds with ``localCheckpoint``
+    lineage truncation per round (same pattern as the tree closure);
+    cost is O(iters) broadcast joins.  Returns the final assignment
+    (vec_id, cent_id, cos, n_members).
+    """
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_q").alias("q"), F.col("_n2").alias("n2")
+    )
+    cents = n.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = n.join(F.broadcast(cents_df), F.lit(True)).withColumn(
+            "cos", cosine(dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        ex = a.select("cent_id", F.posexplode("q").alias("d", "val"))
+        sums = ex.groupBy("cent_id", "d").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt")
+        )
+        means = sums.withColumn(
+            "m", F.floor(F.col("s") / F.col("cnt")).cast("double")
+        )
+        cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda x: x["m"],
+                ).alias("cq")
+            )
+            .withColumn("cn2", dot(F.col("cq"), F.col("cq")))
+            .localCheckpoint()
+        )
+
+    final = assign(cents)
+    pw = Window.partitionBy("cent_id")
+    return final.select(
+        "vec_id",
+        "cent_id",
+        "cos",
+        F.count(F.lit(1)).over(pw).cast("bigint").alias("n_members"),
+    )
