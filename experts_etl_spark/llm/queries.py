@@ -522,6 +522,61 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refined_assign(e, "vec_id", "embedding", cent_mod=37, iters=2)
 
 
+@query(
+    "ann_topk_ivf_refined",
+    f"""
+    WITH n AS ({_NEMB}),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
+    {_kmeans_iter_sql('c0', 1)},
+    {_kmeans_iter_sql('c1', 2)},
+    cents AS (SELECT cent_id, cq AS centq, cn2 AS centn2 FROM c2),
+    cand_assign AS (
+      SELECT vec_id AS cand_id, q AS cq, n2 AS cn2v, cent_id FROM (
+        SELECT e.*, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, c.centq) / sqrt(e.n2 * c.centn2) DESC,
+                          c.cent_id) AS rn
+        FROM n e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe_assign AS (
+      SELECT vec_id AS probe_id, q AS pq, n2 AS pn2, cent_id FROM (
+        SELECT e.*, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, c.centq) / sqrt(e.n2 * c.centn2) DESC,
+                          c.cent_id) AS rn
+        FROM n e CROSS JOIN cents c
+        WHERE e.vec_id < 16
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.cand_id,
+             list_dot_product(p.pq, a.cq) / sqrt(p.pn2 * a.cn2v) AS cos
+      FROM cand_assign a JOIN probe_assign p USING (cent_id)
+      WHERE p.probe_id <> a.cand_id
+    )
+    SELECT probe_id, cand_id, rank, cos FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cos DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the Lloyd-TRAINED quantizer
+    (kmeans_refined_centroids → ivf_topk): the train-then-search path a
+    production vector index uses, still bit-exact against the oracle."""
+    from experts_etl_spark.llm.similarity import (
+        ivf_topk,
+        kmeans_refined_centroids,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_refined_centroids(e, "vec_id", "embedding", 37, 2)
+    probes = e.filter(F.col("vec_id") < 16)
+    return ivf_topk(e, probes, "vec_id", "embedding", k=3, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -120,6 +120,7 @@ def ivf_topk(
     k: int,
     centroid_stride: int = 37,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     search only the probe's ``nprobe`` nearest cells.
@@ -130,8 +131,9 @@ def ivf_topk(
     broadcast argmax over the centroid set (corpus never shuffles for
     assignment); the candidate join shuffles on the cell id only.
     Recall improves with ``nprobe`` at linear cost — the classic IVF
-    knob."""
-    cents = with_quantized(
+    knob.  Pass ``centroids`` (cent_id, centq, centn2) to search through
+    a TRAINED quantizer instead — e.g. :func:`kmeans_refined_centroids`."""
+    cents = centroids if centroids is not None else with_quantized(
         emb.filter(F.col(id_col) % centroid_stride == 0), vec_col
     ).select(
         F.col(id_col).alias("cent_id"),
@@ -232,15 +234,7 @@ def kmeans_refined_assign(
     cost is O(iters) broadcast joins.  Returns the final assignment
     (vec_id, cent_id, cos, n_members).
     """
-    n = with_quantized(emb, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col("_q").alias("q"), F.col("_n2").alias("n2")
-    )
-    cents = n.filter(F.col("vec_id") % cent_mod == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
-
+    n, cents = _kmeans_train(emb, id_col, vec_col, cent_mod, iters)
     def assign(cents_df: DataFrame) -> DataFrame:
         scored = n.join(F.broadcast(cents_df), F.lit(True)).withColumn(
             "cos", cosine(dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
@@ -252,8 +246,40 @@ def kmeans_refined_assign(
             .drop("_rn")
         )
 
+    final = assign(cents)
+    pw = Window.partitionBy("cent_id")
+    return final.select(
+        "vec_id",
+        "cent_id",
+        "cos",
+        F.count(F.lit(1)).over(pw).cast("bigint").alias("n_members"),
+    )
+
+
+def _kmeans_train(
+    emb: DataFrame, id_col: str, vec_col: str, cent_mod: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (quantized corpus, trained centroids
+    (cent_id, cq, cn2)); see :func:`kmeans_refined_assign` for the
+    determinism contract."""
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_q").alias("q"), F.col("_n2").alias("n2")
+    )
+    cents = n.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
     for _ in range(iters):
-        a = assign(cents)
+        scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
+            "cos", cosine(dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        a = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         ex = a.select("cent_id", F.posexplode("q").alias("d", "val"))
         sums = ex.groupBy("cent_id", "d").agg(
             F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt")
@@ -272,12 +298,14 @@ def kmeans_refined_assign(
             .withColumn("cn2", dot(F.col("cq"), F.col("cq")))
             .localCheckpoint()
         )
+    return n, cents
 
-    final = assign(cents)
-    pw = Window.partitionBy("cent_id")
-    return final.select(
-        "vec_id",
-        "cent_id",
-        "cos",
-        F.count(F.lit(1)).over(pw).cast("bigint").alias("n_members"),
+
+def kmeans_refined_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, cent_mod: int = 37, iters: int = 2
+) -> DataFrame:
+    """Trained quantizer for :func:`ivf_topk`: (cent_id, centq, centn2)."""
+    _, cents = _kmeans_train(emb, id_col, vec_col, cent_mod, iters)
+    return cents.select(
+        "cent_id", F.col("cq").alias("centq"), F.col("cn2").alias("centn2")
     )

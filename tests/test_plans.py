@@ -88,6 +88,7 @@ def test_no_cartesian_products_anywhere(spark):
         "embedding_near_dup",    # exact all-pairs baseline (bucketed twin exists)
         "ann_topk_ivf",          # centroid set broadcast for cell assignment
         "ann_ivf_kmeans",        # centroid set broadcast per Lloyd iteration
+        "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))
