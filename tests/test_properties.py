@@ -192,3 +192,28 @@ def test_split_stints_partition_invariants(spark, rows):
                     assert cur.stint_id == prev.stint_id + 1
                 else:
                     assert cur.stint_id == prev.stint_id
+
+
+@given(
+    st.lists(st.integers(0, 30), max_size=25, unique=True),
+    st.lists(st.integers(0, 30), max_size=25, unique=True),
+)
+@SET
+def test_reconcile_sets_round_trip(spark, cur_ids, des_ids):
+    """Applying (to_add, to_delete) to the current set yields exactly the
+    desired set — the X3 reconciliation contract
+    (transformer_loaders/pure_api_internal_person.py:163-173)."""
+    from experts_etl_spark.operators import reconcile_sets
+
+    cur = spark.createDataFrame([(i,) for i in cur_ids] or [(None,)], "id int").filter(
+        F.col("id").isNotNull()
+    )
+    des = spark.createDataFrame([(i,) for i in des_ids] or [(None,)], "id int").filter(
+        F.col("id").isNotNull()
+    )
+    to_add, to_delete = reconcile_sets(cur, des, ["id"])
+    add = {r.id for r in to_add.collect()}
+    delete = {r.id for r in to_delete.collect()}
+    assert add == set(des_ids) - set(cur_ids)
+    assert delete == set(cur_ids) - set(des_ids)
+    assert (set(cur_ids) | add) - delete == set(des_ids)
