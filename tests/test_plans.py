@@ -111,3 +111,9 @@ def test_composite_pipelines_shuffle_budget(spark):
     assert "BroadcastHashJoin" in p
     c = plan_of(QUERIES["cdc_end_to_end"](spark, SF_SMOKE))
     assert shuffles(c) <= 5, shuffles(c)
+    # the COMPLETE §3.2 assembly: jobs transform's (emplid, position)
+    # shuffle + one emplid shuffle for the person-level windows — and
+    # the orders fact is scanned exactly once
+    a = plan_of(QUERIES["person_assembly_cycle"](spark, SF_SMOKE))
+    assert shuffles(a) == 2, shuffles(a)
+    assert a.count("Scan parquet") == 1, a.count("Scan parquet")
