@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 # Spark expression is a regex-gated coalesce of to_timestamp calls; rows
 # matching no format yield NULL — callers route those to the quarantine
 # branch instead of raising (set-at-a-time error semantics).
-_ISO_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+(\+|-)\d{4}$"
+# Exactly the reference's pattern (transformers.py:9): 3 fraction
+# digits and a '+' offset only — wider strings must stay unparsed so
+# they route to quarantine exactly where the reference raises.
+_ISO_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+\d{4}$"
 _YMD_RE = r"^\d{4}-\d{2}-\d{2}$"
 _YM_RE = r"^\d{4}-\d{2}$"
 _Y_RE = r"^\d{4}$"

@@ -99,6 +99,11 @@ def tree_closure(
     result = out[0]
     for f in out[1:]:
         result = result.unionByName(f)
+    # Every frontier that referenced the adjacency is already an eager
+    # localCheckpoint (or the caller opted out of caching value anyway),
+    # so release the cached partitions instead of accumulating one
+    # cached adjacency per invocation in executor storage.
+    adjacency.unpersist(blocking=False)
     return result
 
 

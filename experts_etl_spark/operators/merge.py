@@ -42,7 +42,10 @@ def merge_upsert(
     anti-join formulation read the target twice and the source twice,
     which at fact scale means re-scanning (or re-shuffling) both
     tables twice.  Precondition: the target is keyed (≤1 row per key),
-    which M4's per-PK ORM upsert guarantees.
+    which M4's per-PK ORM upsert guarantees.  The source need not be
+    keyed — duplicate source keys are collapsed to one deterministic
+    winner so the output keeps the keyed-target invariant the next
+    cycle's merge relies on.
 
     Both sides must share a schema.
     """
@@ -51,7 +54,13 @@ def merge_upsert(
     cols = target.columns
     key_list = list(keys)
     if freshness_col is None:
-        winners = source.select(*cols)
+        w = Window.partitionBy(*key_list).orderBy(F.xxhash64(F.struct(*cols)))
+        winners = (
+            source.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         kept = target.join(winners.select(*key_list).distinct(), key_list, "left_anti")
         return kept.unionByName(winners)
 

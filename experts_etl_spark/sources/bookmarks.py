@@ -43,10 +43,20 @@ def write_bookmark(
 ) -> None:
     """Persist max(ts_col) of the just-consumed batch as the next cycle's
     start point.  Written via a single-row aggregate — no collect of
-    data rows, and idempotent on replay (max is monotone)."""
+    data rows, and idempotent on replay (max is monotone).
+
+    The stored watermark never moves backwards: an empty batch has
+    max(ts)=NULL and a replayed batch has a stale max, so the written
+    value is greatest(batch_max, previous) — otherwise an idle cycle
+    would reset the pipeline to cold start and duplicate rows through
+    append-mode sinks."""
     spark = df.sparkSession
-    new = df.agg(F.max(ts_col).alias("watermark")).select(
-        F.lit(pipeline).alias("pipeline"), "watermark"
+    prev = read_bookmark(spark, path, pipeline)
+    new = df.agg(F.max(ts_col).alias("_batch_max")).select(
+        F.lit(pipeline).alias("pipeline"),
+        F.greatest(
+            F.col("_batch_max"), F.lit(prev).cast("timestamp")
+        ).alias("watermark"),
     )
     if os.path.exists(path):
         others = (

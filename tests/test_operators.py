@@ -60,6 +60,21 @@ def test_merge_upsert_unconditional(spark):
     assert got == {"a": 2, "b": 3}
 
 
+def test_merge_upsert_fast_path_keeps_target_keyed(spark):
+    """Duplicate source keys must collapse to ONE row so the output
+    preserves the keyed-target invariant the next cycle relies on."""
+    target = spark.createDataFrame([("a", 1)], ["k", "v"])
+    source = spark.createDataFrame([("a", 2), ("a", 7), ("b", 3), ("b", 3)], ["k", "v"])
+    out = merge_upsert(target, source, ["k"])
+    rows = out.collect()
+    assert len(rows) == len({r.k for r in rows}) == 2
+    by_k = {r.k: r.v for r in rows}
+    assert by_k["a"] in (2, 7) and by_k["b"] == 3
+    # deterministic across invocations
+    again = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert again == by_k
+
+
 def test_filter_new_versions_same_or_older_dropped(spark):
     stored = spark.createDataFrame([("u", 5)], ["k", "ver"])
     incoming = spark.createDataFrame(

@@ -85,3 +85,20 @@ def test_bookmark_roundtrip_cold_start_and_advance(spark, tmp_path):
     write_bookmark(ev.limit(10), "ts", path, "other")
     assert read_bookmark(spark, path, "changes") == wm
     assert read_bookmark(spark, path, "other") is not None
+
+
+def test_bookmark_never_regresses(spark, tmp_path):
+    """An empty batch (max=NULL) or a stale replay must not move the
+    stored watermark backwards — otherwise the next cycle cold-starts
+    and duplicates rows through append-mode sinks."""
+    path = str(tmp_path / "bookmarks")
+    ev = read_table(spark, SF_SMOKE, "events")
+    write_bookmark(ev, "ts", path, "changes")
+    wm = read_bookmark(spark, path, "changes")
+    # empty batch: watermark unchanged, not NULL
+    write_bookmark(ev.filter(F.lit(False)), "ts", path, "changes")
+    assert read_bookmark(spark, path, "changes") == wm
+    # stale replay: an old batch's smaller max is ignored
+    stale = ev.filter(F.col("ts") < F.lit(wm))
+    write_bookmark(stale, "ts", path, "changes")
+    assert read_bookmark(spark, path, "changes") == wm
