@@ -9,9 +9,6 @@ quadratic in the corpus.  Hash functions are md5-derived 60-bit ints
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -340,36 +337,44 @@ def winnow_pairs(
     )
 
 
-# --- SimHash (Pandas-UDF path: genuinely non-SQL, Arrow-batched) ---------
+# --- SimHash (fully native: no Python stage in the corpus path) ----------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens: per token take the md5-low
-    64 bits; each bit position accumulates +1/−1; sign → bit."""
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash as pure column expressions: explode whitespace
+    tokens, take each token's md5 first-64-bits (as two 32-bit halves —
+    a single 64-bit ``conv`` would overflow signed bigint), then one
+    grouped aggregation computes all 64 per-bit sign sums; a bit is set
+    when its positive count wins (2·sum > n).  Bit 63 recomposes via
+    ``shiftleft``'s two's-complement wrap, so the signature lands in a
+    signed bigint identically in any engine.
 
-    def one(text: str) -> int:
-        if not text:
-            return 0
-        acc = [0] * 64
-        for tok in text.lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for b in range(64):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        v = 0
-        for b in range(64):
-            if acc[b] > 0:
-                v |= 1 << b
-        # fold into signed 64-bit
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return texts.map(one)
-
-
-def simhash64() -> "F.UserDefinedFunctionLike":
-    """Arrow-batched pandas UDF (built lazily — pandas_udf needs an
-    active SparkSession to resolve its return type)."""
-    from pyspark.sql.types import LongType
-
-    return F.pandas_udf(_simhash_batch, LongType())
+    One explode + one shuffle (groupBy id), everything whole-stage
+    codegen — the per-token/per-bit Python loop this replaces was the
+    only UDF in the dedup corpus path."""
+    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+    h = F.md5(F.col("tok"))
+    halves = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for b in range(64):
+        src, sh = ("lo", b) if b < 32 else ("hi", b - 32)
+        aggs.append(
+            F.sum(
+                F.shiftrightunsigned(F.col(src), sh).bitwiseAND(F.lit(1))
+            ).alias(f"s{b}")
+        )
+    agg = halves.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(
+            2 * F.col(f"s{b}") > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def simhash_pairs(
@@ -378,10 +383,10 @@ def simhash_pairs(
     """SimHash near-dup pairs: block on 16-bit chunks (two docs within
     hamming distance 3 of 64 bits share at least one of 4 chunks —
     pigeonhole), verify hamming via bit_count(xor)."""
-    sig = df.select(F.col(id_col), simhash64()(F.col(text_col)).alias("sig"))
+    sig = simhash_signatures(df, text_col, id_col)
     # Explode (chunk_idx, chunk_key) structs instead of unioning 4
-    # projections — a union would evaluate the pandas-UDF signature once
-    # per chunk per join side (8× the Python cost).
+    # projections — a union would reference the signature aggregation
+    # once per chunk per join side (8 copies in one plan).
     chunk_structs = [
         F.struct(
             F.lit(ci).alias("chunk_idx"),

@@ -291,10 +291,47 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(d, "text", "doc_id", 0.6)
 
 
-@query("dedup_simhash")  # Pandas-UDF path: rows-only check (non-SQL)
+# Per-bit sign sums and two's-complement recomposition mirroring
+# llm/dedup.py:simhash_signatures — bit b of a token hash comes from the
+# md5 low (b<32) or high (b>=32) 32-bit half; arithmetic >> plus the
+# 0xFFFF mask equals unsigned shift for every 16-bit chunk.
+_SIMHASH_SUMS = ",\n             ".join(
+    f"sum(({'lo' if b < 32 else 'hi'} >> {b if b < 32 else b - 32}) & 1) AS s{b}"
+    for b in range(64)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN 2*s{b} > n THEN {(1 << b) if b < 63 else -(1 << 63)} ELSE 0 END)"
+    for b in range(64)
+)
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM toks
+    ),
+    sums AS (SELECT doc_id, count(*) AS n,
+             {_SIMHASH_SUMS}
+             FROM h GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS sig FROM sums),
+    chunks AS (
+      SELECT doc_id, sig, ci AS chunk_idx, (sig >> (ci * 16)) & 65535 AS chunk_key
+      FROM sigs CROSS JOIN range(0, 4) t(ci)
+    )
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b USING (chunk_idx, chunk_key)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3, 16-bit-chunk blocked).
-    Arrow-batched pandas UDF — registered rows-only."""
+    """SimHash near-dup pairs (hamming ≤ 3, 16-bit-chunk blocked) —
+    fully native since round 2 (llm/dedup.py:simhash_signatures), so the
+    signature is SQL-expressible and hash-gated against this oracle."""
     d = read_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
 

@@ -515,6 +515,57 @@ def multiset_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b)
 
 
+@query(
+    "snapshot_delta",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), hist AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ), hist_latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM hist) WHERE rn = 1
+    ), delta AS (
+      SELECT user_id, event_type, value FROM latest
+      WHERE user_id IN (
+        SELECT user_id FROM (SELECT * FROM latest EXCEPT ALL SELECT * FROM hist_latest)
+      )
+    )
+    SELECT d.user_id, d.event_type, d.value,
+           CASE WHEN h.user_id IS NULL THEN 'new' ELSE 'changed' END AS change_type
+    FROM delta d LEFT JOIN (SELECT DISTINCT user_id FROM hist) h USING (user_id)
+    """,
+)
+def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2 in one gated row: snapshot diff split into 'new' (key-level
+    MINUS, oit_to_edw/person.py:129-140) and 'changed' (full-row MINUS
+    vs latest history, oit_to_edw/person.py:142-186) — the same split
+    the reference performs before history append (M3).  Exercises BOTH
+    snapshot operators on one cutoff."""
+    ev = read_table(spark, sf_dir, "events")
+    current = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_type", "value")
+    history = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    delta = snapshot_diff_rows(
+        current,
+        history,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        ["event_type", "value"],
+    ).select("user_id", "event_type", "value")
+    new_part = snapshot_diff_keys(delta, history, ["user_id"]).withColumn(
+        "change_type", F.lit("new")
+    )
+    changed_part = delta.join(
+        history.select("user_id").distinct(), ["user_id"], "left_semi"
+    ).withColumn("change_type", F.lit("changed"))
+    return new_part.unionByName(changed_part)
+
+
 # ---------------------------------------------------------------------------
 # CDC (C1-C5, W7) over the events feed
 # ---------------------------------------------------------------------------
@@ -665,6 +716,35 @@ def gate_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
     )
     return deferred.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "existence_gates",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+                THEN 'passed' ELSE 'deferred' END AS gate_status
+    FROM orders
+    """,
+)
+def existence_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J9/C6 in one gated row: both sides of the existence gate —
+    rows whose dim key exists proceed, the rest join the deferred set
+    retried next cycle (transformer_loaders/pure_api_pub.py:207-225;
+    pure_api_internal_person.py:161-186).  Exercises the pass AND defer
+    outputs of ``existence_gate`` with a status column."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    passed, deferred = existence_gate(
+        o, c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    return (
+        passed.select(*cols).withColumn("gate_status", F.lit("passed"))
+        .unionByName(
+            deferred.select(*cols).withColumn("gate_status", F.lit("deferred"))
+        )
+    )
 
 
 @query(
@@ -1425,6 +1505,30 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_parse_roundtrip",
+    """
+    SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
+           CASE WHEN CAST(props->>'k' AS INTEGER) >= 50 THEN 'high' ELSE 'low' END AS k_band,
+           '{"k":' || CAST(CAST(props->>'k' AS INTEGER) AS VARCHAR) || '}' AS normalized
+    FROM events
+    """,
+)
+def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+F13 in one gated row: schema-on-read JSON parse (response.
+    transform, transformer_loaders/pure_api_internal_person.py:109-113)
+    plus the parse→serialize normalization used by the audit log
+    (loggers.py:20-26) — one ``from_json`` feeds both outputs."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("doc", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.col("doc.k").alias("k"),
+        F.when(F.col("doc.k") >= 50, "high").otherwise("low").alias("k_band"),
+        F.to_json("doc").alias("normalized"),
+    )
+
+
+@query(
     "person_sync_xml",
     """
     SELECT c.c_custkey AS person_id,
@@ -1787,9 +1891,7 @@ def affiliate_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs
 
 
-@query(
-    "person_assembly_cycle",
-    f"""
+_PAC_SQL = f"""
     WITH ejobs AS ({_EMP_JOBS_SQL}),
     el AS (
       SELECT *, row_number() OVER (PARTITION BY emplid ORDER BY
@@ -1840,8 +1942,10 @@ def affiliate_jobs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN person_public THEN 'Public' ELSE 'Restricted' END
              AS person_visibility
     FROM vis
-    """,
-)
+    """
+
+
+@query("person_assembly_cycle", _PAC_SQL)
 def person_assembly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE §3.2 person assembly (oit_to_edw/person.py:231-317):
     jobs transform → primary election cascade (transform_primary_job)
@@ -1942,8 +2046,55 @@ def person_assembly_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("person_cycle_xml")  # rows-only: renderer byte-parity is proven
-# against the reference template in tests/test_reference_fixture_parity.py
+# The template render as DuckDB string concatenation (the technique
+# proven by pure_user_sync_xml's oracle).  The synthetic job fields are
+# XML-safe by construction (ids/enums/dates only), so Jinja2 escaping is
+# the identity here — byte-level escape behavior is separately proven
+# against the reference template in tests/test_reference_fixture_parity.py.
+# ORDER BY mirrors Spark's array_sort over the job struct: field order
+# = struct field order, NULLS FIRST on the nullable end_date (Spark's
+# ascending null ordering); email_address is constant per person.
+_PERSON_CYCLE_XML_SQL = f"""
+    WITH pac AS ({_PAC_SQL}),
+    jx AS (
+      SELECT emplid, profiled, person_visibility,
+             string_agg(
+               e'\\n    <staffOrganisationAssociation id="' || staff_org_assoc_id
+               || e'" managedInPure="false">\\n      <affiliationId>' || affiliation_id || '</affiliationId>'
+               || e'\\n      <emails>\\n        <v3:classifiedEmail id="personStaffAssocEmail1">'
+               || e'\\n          <v3:classification>email</v3:classification>'
+               || e'\\n          <v3:value>u' || emplid || e'@umn.edu</v3:value>'
+               || e'\\n        </v3:classifiedEmail>\\n      </emails>'
+               || e'\\n      <employmentType>' || employment_type || '</employmentType>'
+               || e'\\n      <primaryAssociation>' || CASE WHEN is_primary THEN 'true' ELSE 'false' END || '</primaryAssociation>'
+               || e'\\n      <organisation>\\n        <v3:source_id>' || org_id || e'</v3:source_id>\\n      </organisation>'
+               || e'\\n      <period>\\n        <v3:startDate>' || strftime(start_date, '%d-%m-%Y') || '</v3:startDate>'
+               || coalesce(e'\\n        <v3:endDate>' || strftime(end_date, '%d-%m-%Y') || '</v3:endDate>', '')
+               || e'\\n      </period>\\n      <staffType>' || staff_type || '</staffType>'
+               || e'\\n      <jobDescription><v3:text lang="en">' || job_description || '</v3:text></jobDescription>'
+               || e'\\n    </staffOrganisationAssociation>',
+               '' ORDER BY staff_org_assoc_id, affiliation_id, employment_type,
+                          is_primary, org_id, start_date, end_date NULLS FIRST,
+                          staff_type, job_description
+             ) AS jobs_xml
+      FROM pac GROUP BY emplid, profiled, person_visibility
+    )
+    SELECT emplid AS person_id,
+           e'\\n<person id="' || emplid || e'">\\n  <name>\\n    <v3:firstname>First' || emplid
+           || e'</v3:firstname>\\n    <v3:lastname>Last' || emplid || e'</v3:lastname>\\n  </name>'
+           || e'\\n  <gender>unknown</gender>\\n  <organisationAssociations>' || jobs_xml
+           || e'\\n  </organisationAssociations>'
+           || e'\\n  <user id="' || emplid || e'">\\n    <userName>u' || emplid
+           || e'@umn.edu</userName>\\n    <email>u' || emplid || e'@umn.edu</email>\\n  </user>'
+           || e'\\n  <personIds>\\n    <v3:id type="employee" id="autoid:' || emplid || '-employee-' || emplid || '">' || emplid || '</v3:id>'
+           || e'\\n    <v3:id type="umn" id="autoid:' || emplid || '-umn-u' || emplid || '">u' || emplid || '</v3:id>'
+           || e'\\n  </personIds>\\n  <visibility>' || person_visibility || '</visibility>'
+           || e'\\n  <profiled>' || CASE WHEN profiled THEN 'true' ELSE 'false' END || e'</profiled>\\n</person>\\n' AS xml
+    FROM jx
+    """
+
+
+@query("person_cycle_xml", _PERSON_CYCLE_XML_SQL)
 def person_cycle_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 + §3.4 end-to-end: jobs transform → person assembly →
     nested-jobs grouping → byte-parity person.xml.j2 render — the
@@ -2225,6 +2376,50 @@ def slug_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformer_loaders/pure_api_internal_person.py:256-263)."""
     p = read_table(spark, sf_dir, "part")
     return p.select("p_partkey", X.slug(F.col("p_type")).alias("type_slug"))
+
+
+@query(
+    "scalar_pack",
+    """
+    WITH uris AS (
+      SELECT p_partkey, p_type,
+             concat('catalog/', p_brand, '/', replace(p_type, ' ', '_'), '/', CAST(p_partkey AS VARCHAR)) AS uri
+      FROM part
+    )
+    SELECT p_partkey, uri,
+           list_reverse(string_split(uri, '/'))[1] AS tail_1,
+           list_reverse(string_split(uri, '/'))[2] AS tail_2,
+           lower(regexp_replace(p_type, '[^a-zA-Z]+', '', 'g')) AS type_slug,
+           sha256(concat_ws(chr(31), CAST(p_partkey AS VARCHAR), p_type)) AS stable_id
+    FROM uris
+    """,
+)
+def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+F8+F10 in one gated row: uri tail split
+    (transformer_loaders/pure_api_pub.py:185-187), slug normalization
+    (pure_api_internal_person.py:256-263), and the deterministic
+    surrogate key replacing uuid4 (pure_api_pub.py:132-136) — all
+    native expressions on one scan of ``part``."""
+    p = read_table(spark, sf_dir, "part")
+    uri = F.concat_ws(
+        "/",
+        F.lit("catalog"),
+        F.col("p_brand"),
+        F.regexp_replace("p_type", " ", "_"),
+        F.col("p_partkey").cast("string"),
+    )
+    df = p.select("p_partkey", "p_type", uri.alias("uri"))
+    tail = X.uri_tail(F.col("uri"))
+    return df.select(
+        "p_partkey",
+        "uri",
+        tail[0].alias("tail_1"),
+        tail[1].alias("tail_2"),
+        X.slug(F.col("p_type")).alias("type_slug"),
+        X.stable_id(F.col("p_partkey").cast("string"), F.col("p_type")).alias(
+            "stable_id"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
