@@ -143,13 +143,24 @@ def overwrite_children(
     child: DataFrame,
     new_children: DataFrame,
     parent_keys: Sequence[str],
+    touched: DataFrame | None = None,
 ) -> DataFrame:
     """M5: delete-and-recreate child sets for touched parents
     ("so complex, easiest to delete and re-create",
     transformer_loaders/pure_api_internal_person.py:282-302).
     Anti-join out every child of a touched parent, union the new rows.
     On a partitioned lake this is an overwrite of the touched parent
-    partitions only."""
-    touched = new_children.select(*parent_keys).distinct()
-    kept = child.join(touched, list(parent_keys), "left_anti")
+    partitions only.
+
+    ``touched`` (parent keys only) lets the caller supply a cheaper
+    derivation of the touched-parent set: the default re-references the
+    whole ``new_children`` subtree in the anti-join branch, and when
+    that subtree is an expensive composite (joins + windows over a fact
+    table) Catalyst plans it TWICE — a caller usually has a pre-window
+    aggregate that yields the same key set for a fraction of the plan."""
+    if touched is None:
+        touched = new_children
+    kept = child.join(
+        touched.select(*parent_keys).distinct(), list(parent_keys), "left_anti"
+    )
     return kept.unionByName(new_children.select(*child.columns))

@@ -2580,6 +2580,250 @@ def person_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pub_cycle",
+    """
+    WITH orgdim AS (SELECT n_nationkey AS org_id FROM nation WHERE n_nationkey % 5 <> 0),
+    pubs AS (
+      SELECT o_orderkey AS pub_id, o_custkey % 25 AS owner_org,
+             lower(o_orderstatus) AS pure_type, substr(o_orderpriority, 1, 1) AS pure_subtype
+      FROM orders
+      WHERE lower(o_orderstatus) IN ('o', 'f')
+    ),
+    gated AS (SELECT p.* FROM pubs p WHERE owner_org IN (SELECT org_id FROM orgdim)),
+    st AS (
+      SELECT l_orderkey AS pub_id,
+             CASE l_returnflag WHEN 'R' THEN 'issued' WHEN 'A' THEN 'eissued'
+                  ELSE 'inpress' END AS state,
+             l_shipdate AS ts, (l_linestatus = 'O') AS cur,
+             CASE CAST(l_linenumber % 3 AS INTEGER) WHEN 0 THEN 366 WHEN 1 THEN 31
+                  ELSE 1 END AS prec
+      FROM lineitem
+    ),
+    fan AS (
+      SELECT pub_id,
+             max(CASE WHEN state = 'issued' THEN ts END) AS issued_ts,
+             max(CASE WHEN state = 'issued' AND cur THEN 1 ELSE 0 END) = 1 AS issued_current,
+             CAST(max(CASE WHEN state = 'issued' THEN prec END) AS INT) AS issued_precision,
+             max(CASE WHEN state = 'eissued' THEN ts END) AS eissued_ts,
+             max(CASE WHEN state = 'eissued' AND cur THEN 1 ELSE 0 END) = 1 AS eissued_current,
+             max(CASE WHEN state = 'inpress' THEN ts END) AS inpress_ts
+      FROM st GROUP BY pub_id
+    ),
+    persondim AS (
+      SELECT s_suppkey AS person_id, s_nationkey AS person_org,
+             concat('E', CAST(s_suppkey AS VARCHAR)) AS emplid
+      FROM supplier WHERE s_acctbal > 0
+    ),
+    auth AS (
+      SELECT l_orderkey AS pub_id, l_suppkey AS person_id,
+             l_linenumber AS ordinal, lower(l_returnflag) AS role
+      FROM lineitem
+    ),
+    aj AS (
+      SELECT a.*, p.emplid,
+             CASE WHEN p.person_id IS NULL THEN 1
+                  WHEN o.org_id IS NULL THEN 1 ELSE 0 END AS miss
+      FROM auth a
+      LEFT JOIN persondim p USING (person_id)
+      LEFT JOIN orgdim o ON p.person_org = o.org_id
+    ),
+    valid AS (
+      SELECT * FROM aj WHERE pub_id NOT IN (SELECT pub_id FROM aj WHERE miss = 1)
+    ),
+    newch AS (
+      SELECT pub_id, person_id, ordinal, role, emplid FROM (
+        SELECT *, row_number() OVER (PARTITION BY pub_id, person_id ORDER BY ordinal) AS rn
+        FROM valid) WHERE rn = 1
+    ),
+    pubmeta AS (
+      SELECT g.*, f.issued_ts, f.issued_current, f.issued_precision,
+             f.eissued_ts, f.eissued_current, f.inpress_ts
+      FROM gated g LEFT JOIN fan f USING (pub_id)
+    ),
+    newfull AS (
+      SELECT n.pub_id, n.person_id, CAST(n.ordinal AS INT) AS person_ordinal,
+             n.role AS person_role, n.emplid, 'new' AS src,
+             m.pure_type, m.pure_subtype, m.owner_org,
+             m.issued_ts, m.issued_current, m.issued_precision,
+             m.eissued_ts, m.eissued_current, m.inpress_ts
+      FROM newch n JOIN pubmeta m USING (pub_id)
+    ),
+    prior AS (
+      SELECT l_orderkey AS pub_id, l_suppkey AS person_id,
+             CAST(l_linenumber AS INT) AS person_ordinal,
+             'prior' AS person_role, CAST(NULL AS VARCHAR) AS emplid, 'prior' AS src,
+             CAST(NULL AS VARCHAR) AS pure_type, CAST(NULL AS VARCHAR) AS pure_subtype,
+             CAST(NULL AS BIGINT) AS owner_org, CAST(NULL AS TIMESTAMP) AS issued_ts,
+             CAST(NULL AS BOOLEAN) AS issued_current, CAST(NULL AS INT) AS issued_precision,
+             CAST(NULL AS TIMESTAMP) AS eissued_ts, CAST(NULL AS BOOLEAN) AS eissued_current,
+             CAST(NULL AS TIMESTAMP) AS inpress_ts
+      FROM lineitem WHERE l_linenumber <= 2
+    )
+    SELECT * FROM prior WHERE pub_id NOT IN (SELECT DISTINCT pub_id FROM newfull)
+    UNION ALL
+    SELECT * FROM newfull
+    """,
+)
+def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's research-output transformer end-to-end
+    (transformer_loaders/pure_api_pub.py:20-405) as ONE DAG — the
+    document-side analog of person_cycle_xml:
+
+    - type-uri tail split + type whitelist (P7/F7, :185-187)
+    - publication-state fan-out with partial-date precision (F12/F11,
+      :20-62; bool_or stands in for the reference's last-row-wins
+      current flag — deterministic under any row order)
+    - owner-org existence gate: pub skipped when the managing org is
+      absent from EDW (J6, :207-225)
+    - author-association veto: ANY missing person or missing org skips
+      the WHOLE pub (J7, :293-335, :363-381)
+    - membership dedup: first ordinal per (pub, person) (J8, :312-335)
+    - delete-and-recreate child sets for surviving pubs; vetoed and
+      gated-out pubs keep their prior associations untouched (M5,
+      :387-405)
+
+    Synthetic cast: orders=api_pub feed, lineitem=states+associations+
+    prior children, supplier=person dim, nation=org dim.  One scan per
+    projection of lineitem, dims broadcast, all shuffles keyed on
+    pub_id (see tests/test_plans.py plan budget)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+
+    orgdim = nat.filter(F.col("n_nationkey") % 5 != 0).select(
+        F.col("n_nationkey").alias("org_id")
+    )
+    # P7 whitelist over the F7 uri-tail split of the synthesized type uri
+    uri = F.concat_ws(
+        "/",
+        F.lit("research"),
+        F.lit("outputs"),
+        F.lower(F.col("o_orderstatus")),
+        F.substring("o_orderpriority", 1, 1),
+    )
+    tails = X.uri_tail(uri, 2)
+    pubs = o.select(
+        F.col("o_orderkey").alias("pub_id"),
+        (F.col("o_custkey") % 25).alias("owner_org"),
+        tails[1].alias("pure_type"),
+        tails[0].alias("pure_subtype"),
+    ).filter(F.col("pure_type").isin("o", "f"))
+    # J6: owner-org existence gate
+    gated, _ = existence_gate(
+        pubs, orgdim.select(F.col("org_id").alias("owner_org")), ["owner_org"]
+    )
+    # F12/F11: state fan-out with precision
+    st = li.select(
+        F.col("l_orderkey").alias("pub_id"),
+        F.when(F.col("l_returnflag") == "R", "issued")
+        .when(F.col("l_returnflag") == "A", "eissued")
+        .otherwise("inpress")
+        .alias("state"),
+        F.col("l_shipdate").alias("ts"),
+        (F.col("l_linestatus") == "O").alias("cur"),
+        F.when((F.col("l_linenumber") % 3).cast("int") == 0, 366)
+        .when((F.col("l_linenumber") % 3).cast("int") == 1, 31)
+        .otherwise(1)
+        .alias("prec"),
+    )
+
+    def state_cols(s):
+        ts = F.max(F.when(F.col("state") == s, F.col("ts"))).alias(f"{s}_ts")
+        cur = (
+            F.max(F.when((F.col("state") == s) & F.col("cur"), 1).otherwise(0)) == 1
+        ).alias(f"{s}_current")
+        prec = (
+            F.max(F.when(F.col("state") == s, F.col("prec")))
+            .cast("int")
+            .alias(f"{s}_precision")
+        )
+        return ts, cur, prec
+
+    i_ts, i_cur, i_prec = state_cols("issued")
+    e_ts, e_cur, _ = state_cols("eissued")
+    p_ts, _, _ = state_cols("inpress")
+    fan = st.groupBy("pub_id").agg(i_ts, i_cur, i_prec, e_ts, e_cur, p_ts)
+
+    # J7: author-association veto over the membership joins
+    persondim = sup.filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").alias("person_id"),
+        F.col("s_nationkey").alias("person_org"),
+        F.concat(F.lit("E"), F.col("s_suppkey").cast("string")).alias("emplid"),
+    )
+    auth = li.select(
+        F.col("l_orderkey").alias("pub_id"),
+        F.col("l_suppkey").alias("person_id"),
+        F.col("l_linenumber").alias("ordinal"),
+        F.lower(F.col("l_returnflag")).alias("role"),
+    )
+    aj = (
+        auth.join(F.broadcast(persondim), "person_id", "left")
+        .join(
+            F.broadcast(orgdim), F.col("person_org") == F.col("org_id"), "left"
+        )
+        .withColumn(
+            "_miss",
+            F.when(F.col("emplid").isNull() | F.col("org_id").isNull(), 1).otherwise(0),
+        )
+    )
+    pw = Window.partitionBy("pub_id")
+    valid = aj.withColumn("_veto", F.max("_miss").over(pw) == 1).filter(
+        ~F.col("_veto")
+    )
+    # Touched-parent set for M5 via a plain aggregate (no window sort, no
+    # fan/pubmeta recompute) — same key set as distinct(newfull.pub_id)
+    ok = (
+        aj.groupBy("pub_id")
+        .agg(F.max("_miss").alias("_m"))
+        .filter(F.col("_m") == 0)
+        .select("pub_id")
+    )
+    touched = ok.join(gated.select("pub_id"), "pub_id", "left_semi")
+    # J8: first ordinal per (pub, person) — reuses the pub_id exchange
+    dw = Window.partitionBy("pub_id", "person_id").orderBy("ordinal")
+    newch = (
+        valid.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .select("pub_id", "person_id", "ordinal", "role", "emplid")
+    )
+    pubmeta = gated.join(fan, "pub_id", "left")
+    meta_cols = [
+        "pure_type", "pure_subtype", "owner_org",
+        "issued_ts", "issued_current", "issued_precision",
+        "eissued_ts", "eissued_current", "inpress_ts",
+    ]
+    newfull = newch.join(pubmeta, "pub_id").select(
+        "pub_id",
+        "person_id",
+        F.col("ordinal").cast("int").alias("person_ordinal"),
+        F.col("role").alias("person_role"),
+        "emplid",
+        F.lit("new").alias("src"),
+        *meta_cols,
+    )
+    prior = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").alias("pub_id"),
+        F.col("l_suppkey").alias("person_id"),
+        F.col("l_linenumber").cast("int").alias("person_ordinal"),
+        F.lit("prior").alias("person_role"),
+        F.lit(None).cast("string").alias("emplid"),
+        F.lit("prior").alias("src"),
+        F.lit(None).cast("string").alias("pure_type"),
+        F.lit(None).cast("string").alias("pure_subtype"),
+        F.lit(None).cast("bigint").alias("owner_org"),
+        F.lit(None).cast("timestamp").alias("issued_ts"),
+        F.lit(None).cast("boolean").alias("issued_current"),
+        F.lit(None).cast("int").alias("issued_precision"),
+        F.lit(None).cast("timestamp").alias("eissued_ts"),
+        F.lit(None).cast("boolean").alias("eissued_current"),
+        F.lit(None).cast("timestamp").alias("inpress_ts"),
+    )
+    # M5: delete-and-recreate children of touched (surviving) pubs
+    return overwrite_children(prior, newfull, ["pub_id"], touched=touched)
+
+
+@query(
     "session_window_agg",
     """
     WITH ordered AS (

@@ -89,6 +89,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_topk_ivf",          # centroid set broadcast for cell assignment
         "ann_ivf_kmeans",        # centroid set broadcast per Lloyd iteration
         "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
+        "ann_recall",            # brute-force baseline + 1-row agg cross joins
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))
@@ -117,3 +118,19 @@ def test_composite_pipelines_shuffle_budget(spark):
     a = plan_of(QUERIES["person_assembly_cycle"](spark, SF_SMOKE))
     assert shuffles(a) == 2, shuffles(a)
     assert a.count("Scan parquet") == 1, a.count("Scan parquet")
+
+
+def test_pub_cycle_plan_budget(spark):
+    """The document-side composite (pub_cycle): every shuffle keyed on
+    pub_id, dims broadcast (person/org dims never shuffle the fact), no
+    cartesian, and the M5 touched-set derivation stays the cheap
+    aggregate — lineitem appears once per distinct projection (states,
+    associations, touched-agg, prior children), never more."""
+    import re
+
+    p = plan_of(QUERIES["pub_cycle"](spark, SF_SMOKE))
+    assert shuffles(p) <= 6, shuffles(p)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", p)) <= 4
+    assert len(re.findall(r"Scan parquet[^\n]*orders", p)) <= 2
