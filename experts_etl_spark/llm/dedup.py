@@ -9,7 +9,7 @@ quadratic in the corpus.  Hash functions are md5-derived 60-bit ints
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from experts_etl_spark.llm.text import fingerprint, words
@@ -100,15 +100,25 @@ def with_max_df(block: DataFrame, key_col: str, max_df: int | None) -> DataFrame
     keys that are useless for similarity anyway (present everywhere ⇒
     no discriminating power); the winnowing/LSH guarantees degrade
     gracefully and high-similarity pairs still share many rare keys.
-    ``None`` = exact (no cap)."""
+    ``None`` = exact (no cap).
+
+    Implementation: aggregate the over-cap keys (map-side partial
+    combine, so the hot key never concentrates its raw rows in one
+    task) and broadcast anti-join them away.  The obvious
+    ``count() over (partition by key)`` window would first hash-shuffle
+    EVERY row of the hot key into a single partition and sort it —
+    materializing exactly the skew the cap exists to remove.  The
+    over-cap key set is tiny by construction (stop-shingles), hence
+    always broadcastable."""
     if max_df is None:
         return block
-    w = Window.partitionBy(key_col)
-    return (
-        block.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
+    hot = (
+        block.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(key_col)
     )
+    return block.join(F.broadcast(hot), key_col, "left_anti")
 
 
 def ngram_jaccard_pairs(
