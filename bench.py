@@ -53,6 +53,28 @@ def main() -> None:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
+
+    def plan_signature(df) -> str:
+        """Compact physical-plan shape: shuffle/broadcast/scan counts
+        (+ join strategy flags).  Stable across runs at fixed code, so
+        round-over-round BENCH diffs separate plan regressions (signature
+        changed) from environment noise (timing changed, signature same)."""
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        sh = len(
+            re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", p)
+        )
+        flags = "".join(
+            tag
+            for tag, marker in (
+                ("+smj", "SortMergeJoin"),
+                ("+bnlj", "BroadcastNestedLoopJoin"),
+            )
+            if marker in p
+        )
+        return f"sh{sh}/bc{p.count('BroadcastExchange')}/sc{p.count('Scan parquet')}{flags}"
 
     # Warm the JVM/codegen once so timings measure the engine, not startup.
     person_assembly(spark, SF_DIR).count()
@@ -66,6 +88,7 @@ def main() -> None:
 
     def timed(name, fn):
         nonlocal cold
+        plans[name] = plan_signature(fn())
         start = time.time()
         fn().count()
         cold += time.time() - start
@@ -90,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "cold_total_sec": round(cold, 3),
                 "wall_sec": wall,
                 "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,

@@ -430,6 +430,7 @@ def run_person_sync(spark: SparkSession, sf_dir: str, out_path: str) -> int:
         out_path,
         "xml",
         ["person_id"],
-        header="<persons>",
+        header='<persons xmlns="v1.unified-person-sync.pure.atira.dk"'
+        ' xmlns:v3="v3.commons.pure.atira.dk">',
         footer="</persons>",
     )

@@ -41,6 +41,7 @@ def run_incremental_consume(
     target_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    n_partitions: int = 16,
 ) -> None:
     """C1-C5 as one streaming query: dedup by (uuid, version) →
     per-micro-batch latest-version compaction → freshness-guarded merge
@@ -50,6 +51,20 @@ def run_incremental_consume(
     (operators/cdc.py, operators/merge.py); ``availableNow`` drains all
     pending files then stops — the reference's 4-hour daemon tick
     (runner.py:171-174) without the daemon.
+
+    The target is hive-partitioned on ``part_key =
+    pmod(xxhash64(user_id), n_partitions)`` so each micro-batch merges
+    ONLY the partitions hosting its keys: read touched partitions
+    (partition-pruned scan), merge, dynamic-partition-overwrite them
+    back (sources/sinks.py:overwrite_partitions, the M5 pattern).
+    Untouched partitions are never read or rewritten — per-tick cost is
+    proportional to the churn's key-space footprint, not the table.  A
+    4-hour tick touching 1% of keys rewrites ~1% of a 100 TB table
+    instead of 2×100 TB (the former ``_next`` full-rewrite dance).  The
+    ``localCheckpoint`` materializes just the touched partitions'
+    merge, breaking the read-path lineage so the overwrite of the same
+    directory is legal; on a real lake Delta's MERGE INTO replaces it
+    (SURVEY.md §4.2 — Delta unavailable in this image).
     """
     from experts_etl_spark.operators import compact_changes, merge_upsert
 
@@ -61,23 +76,29 @@ def run_incremental_consume(
     deduped = ev.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
         ["user_id", "event_id"]
     )
+    part_key = F.pmod(F.xxhash64("user_id"), F.lit(n_partitions)).cast("int")
 
     def consume(batch: DataFrame, batch_id: int) -> None:
+        from experts_etl_spark.sources.sinks import overwrite_partitions
+
         latest = compact_changes(batch, key="user_id", version_col="event_id")
+        latest = latest.withColumn("part_key", part_key)
         spark_l = batch.sparkSession
         if os.path.exists(target_dir) and os.listdir(target_dir):
-            target = spark_l.read.parquet(target_dir)
+            # Bounded driver read: at most n_partitions scalar ids.
+            touched = [
+                r[0] for r in latest.select("part_key").distinct().collect()
+            ]
+            target = spark_l.read.parquet(target_dir).filter(
+                F.col("part_key").isin(touched)
+            )
+            # M4: freshness-guarded merge of the touched slice only.
             merged = merge_upsert(
                 target, latest.select(*target.columns), ["user_id"], "event_id"
-            )
+            ).localCheckpoint(eager=True)
+            overwrite_partitions(merged, target_dir, ["part_key"])
         else:
-            merged = latest
-        # M4: freshness-guarded merge; parquet rewrite stands in for
-        # MERGE INTO (SURVEY.md §4.2 — Delta unavailable in this image).
-        merged.write.mode("overwrite").parquet(target_dir + "_next")
-        spark_l.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(
-            target_dir
-        )
+            overwrite_partitions(latest, target_dir, ["part_key"])
 
     (
         deduped.writeStream.foreachBatch(consume)

@@ -116,3 +116,74 @@ def test_stateful_sessions_survive_micro_batches(spark, events_feed_dir, tmp_pat
     )
     assert have == want
     assert len(have) > 0
+
+def test_incremental_consume_rewrites_only_touched_partitions(spark, tmp_path):
+    """The per-batch merge must leave partitions that host none of the
+    batch's keys byte-for-byte alone: same files, same mtimes.  This is
+    the scale contract — per-tick write cost proportional to key churn,
+    not table size."""
+    import datetime
+    import glob
+    import shutil
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    target = str(tmp_path / "target")
+    n_parts = 8
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def land(rows, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        (src,) = glob.glob(str(stage / "*.parquet"))
+        dst = feed / f"{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = datetime.datetime(2024, 1, 1)
+    land(
+        [(i, t0, i % 20, "seed", 1.0) for i in range(200)],
+        "wave0",
+        1_700_000_000,
+    )
+    run_incremental_consume(
+        spark,
+        str(feed),
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_partitions=n_parts,
+    )
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/part_key=*/*.parquet")
+    }
+    assert len({os.path.dirname(f) for f in before}) == n_parts
+
+    hot_user = 5
+    touched = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(hot_user).cast("bigint")), F.lit(n_parts))
+    ).first()[0]
+    land(
+        [(10_000, t0 + datetime.timedelta(days=1), hot_user, "update", 9.0)],
+        "wave1",
+        1_700_000_060,
+    )
+    run_incremental_consume(
+        spark,
+        str(feed),
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_partitions=n_parts,
+    )
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/part_key=*/*.parquet")
+    }
+    untouched_before = {f: m for f, m in before.items() if f"part_key={touched}/" not in f}
+    untouched_after = {f: m for f, m in after.items() if f"part_key={touched}/" not in f}
+    assert untouched_before == untouched_after
+    assert {f for f in after if f"part_key={touched}/" in f} != {
+        f for f in before if f"part_key={touched}/" in f
+    }
+    got = spark.read.parquet(target).filter(F.col("user_id") == hot_user).collect()
+    assert [r.event_id for r in got] == [10_000]
