@@ -134,7 +134,11 @@ def ngram_jaccard_pairs(
     sub-``max_df``-frequency shingles only, so set sizes use the same
     capped universe to keep the Jaccard ratio consistent.
     """
-    sh = with_max_df(doc_shingles(df, text_col, id_col), "shingle", max_df)
+    # Materialized once: three plan sites (set sizes + both join sides)
+    # would otherwise each re-explode the corpus.
+    sh = with_max_df(
+        doc_shingles(df, text_col, id_col), "shingle", max_df
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -235,7 +239,15 @@ def minhash_lsh_dedup(
         F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")
         for i in range(N_MINHASH)
     ] + [F.collect_set("shingle").alias("sh")]
-    sigsets = shx.groupBy(id_col).agg(*aggs)
+    # The signature aggregation is THE corpus-scale pass (explode + one
+    # shuffle).  It feeds three plan sites (banding, verify side 1,
+    # verify side 2); Catalyst does not share the subtree across their
+    # differing broadcast exchanges, so without materialization the
+    # corpus would be exploded and shuffled three times.  A real 100 TB
+    # pipeline writes signatures to a table for the same reason; the
+    # lazy localCheckpoint is the in-session equivalent (computed once
+    # at first action, no CacheManager/InMemoryRelation overhead).
+    sigsets = shx.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
     cands = lsh_candidates(sigsets.drop("sh"), id_col)
     a = sigsets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = sigsets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
@@ -321,7 +333,11 @@ def winnow_pairs(
     (stop-shingle skew guard, :func:`with_max_df`); n_fp set sizes are
     computed BEFORE the cap so overlap stays a true lower bound."""
     fps = winnow_fingerprint_sets(df, text_col, id_col, k, w)
-    fps = with_max_df(fps, "fp", max_df)
+    # Materialize the fingerprint pass once: it feeds both join sides
+    # (plus the max_df frequency scan), and Catalyst recomputes the
+    # 3-window corpus pass per plan site otherwise.  Same rationale as
+    # the signature checkpoint in :func:`minhash_lsh_dedup`.
+    fps = with_max_df(fps, "fp", max_df).localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
     inter = (
         a.join(b, on="fp")
@@ -393,7 +409,9 @@ def simhash_pairs(
     """SimHash near-dup pairs: block on 16-bit chunks (two docs within
     hamming distance 3 of 64 bits share at least one of 4 chunks —
     pigeonhole), verify hamming via bit_count(xor)."""
-    sig = simhash_signatures(df, text_col, id_col)
+    # Materialized once for the two join sides (same rationale as the
+    # signature checkpoint in :func:`minhash_lsh_dedup`).
+    sig = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
     # Explode (chunk_idx, chunk_key) structs instead of unioning 4
     # projections — a union would reference the signature aggregation
     # once per chunk per join side (8 copies in one plan).

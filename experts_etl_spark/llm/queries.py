@@ -505,10 +505,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_near_dup_bucketed")  # scale variant: rows-only
+@query(
+    "embedding_near_dup_bucketed",
+    f"""
+    WITH base AS (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    """,
+)
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed near-dup (recall/scale tradeoff documented in
-    llm/similarity.py) — rows-only registration."""
+    llm/similarity.py); the oracle reuses ann_topk_bucketed's SRP-bucket
+    SQL so the blocked pair set itself is hash-verified."""
     e = read_table(spark, sf_dir, "embeddings")
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 

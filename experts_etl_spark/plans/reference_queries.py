@@ -2183,8 +2183,92 @@ def pure_user_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pure_person_sync_xml")  # rows-only: byte-parity vs the reference
-# template itself is proven in tests/test_reference_fixture_parity.py
+# The full person.xml.j2 render as DuckDB string concatenation — every
+# conditional branch (titles / user / umn id / email / end-date) and the
+# array_sort job ordering mirrored field-by-field.  NULLS FIRST on the
+# two nullable struct fields matches Spark's ascending null ordering in
+# struct comparison; the markupsafe replace-chain matches _esc
+# (plans/xml_sync.py:81).
+_PURE_PERSON_SYNC_SQL = """
+    WITH esc AS (
+      SELECT c_custkey,
+             CAST(c_custkey AS VARCHAR) AS pid,
+             replace(replace(replace(replace(replace(split_part(c_name, '#', 1),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&#34;'),
+               '''', '&#39;') AS first_e,
+             replace(replace(replace(replace(replace(c_name,
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&#34;'),
+               '''', '&#39;') AS last_e
+      FROM customer
+    ),
+    jobs AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS pid,
+             string_agg(
+               e'\\n    <staffOrganisationAssociation id="autoid:' || CAST(o_orderkey AS VARCHAR)
+               || e'" managedInPure="false">\\n      <affiliationId>' || o_orderpriority || '</affiliationId>'
+               || coalesce(
+                    e'\\n      <emails>\\n        <v3:classifiedEmail id="personStaffAssocEmail1">'
+                    || e'\\n          <v3:classification>email</v3:classification>'
+                    || e'\\n          <v3:value>'
+                    || CASE WHEN o_orderkey % 2 = 0
+                            THEN 'clerk' || CAST(o_orderkey % 100 AS VARCHAR) || '@umn.edu' END
+                    || e'</v3:value>\\n        </v3:classifiedEmail>\\n      </emails>', '')
+               || e'\\n      <employmentType>' || o_orderstatus || '</employmentType>'
+               || e'\\n      <primaryAssociation>'
+               || CASE WHEN o_orderkey % 7 = 0 THEN 'true' ELSE 'false' END || '</primaryAssociation>'
+               || e'\\n      <organisation>\\n        <v3:source_id>ORG' || CAST(o_custkey % 7 AS VARCHAR)
+               || e'</v3:source_id>\\n      </organisation>'
+               || e'\\n      <period>\\n        <v3:startDate>' || strftime(o_orderdate, '%d-%m-%Y') || '</v3:startDate>'
+               || coalesce(e'\\n        <v3:endDate>'
+                    || CASE WHEN o_orderstatus = 'F'
+                            THEN strftime(CAST(o_orderdate AS DATE) + 365, '%d-%m-%Y') END
+                    || '</v3:endDate>', '')
+               || e'\\n      </period>\\n      <staffType>academic</staffType>'
+               || e'\\n      <jobDescription><v3:text lang="en">' || o_orderpriority
+               || e'</v3:text></jobDescription>\\n    </staffOrganisationAssociation>',
+               '' ORDER BY
+                 'autoid:' || CAST(o_orderkey AS VARCHAR),
+                 o_orderpriority,
+                 CASE WHEN o_orderkey % 2 = 0
+                      THEN 'clerk' || CAST(o_orderkey % 100 AS VARCHAR) || '@umn.edu' END NULLS FIRST,
+                 o_orderstatus,
+                 o_orderkey % 7 = 0,
+                 'ORG' || CAST(o_custkey % 7 AS VARCHAR),
+                 o_orderdate,
+                 CASE WHEN o_orderstatus = 'F' THEN CAST(o_orderdate AS DATE) + 365 END NULLS FIRST
+             ) AS jobs_xml
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT esc.pid AS person_id,
+           e'\\n<person id="' || esc.pid || e'">\\n  <name>\\n    <v3:firstname>' || first_e
+           || e'</v3:firstname>\\n    <v3:lastname>' || last_e || e'</v3:lastname>\\n  </name>'
+           || CASE WHEN c_custkey % 5 = 0 THEN
+                e'\\n  <titles>\\n    <title id="' || esc.pid
+                || e'">\\n      <typeClassification>postnominal</typeClassification>'
+                || e'\\n      <value>\\n        <v3:text lang="en" country="US">Ph.D.</v3:text>'
+                || e'\\n      </value>\\n    </title>\\n  </titles>\\n  '
+              ELSE '' END
+           || e'\\n  <gender>unknown</gender>\\n  <organisationAssociations>' || coalesce(jobs_xml, '')
+           || e'\\n  </organisationAssociations>'
+           || CASE WHEN c_custkey % 3 <> 0 THEN
+                e'\\n  <user id="' || esc.pid || e'">\\n    <userName>u' || esc.pid
+                || e'@umn.edu</userName>\\n    <email>u' || esc.pid || e'@umn.edu</email>\\n  </user>'
+              ELSE '' END
+           || e'\\n  <personIds>\\n    <v3:id type="employee" id="autoid:' || esc.pid
+           || '-employee-' || esc.pid || '">' || esc.pid || '</v3:id>'
+           || CASE WHEN c_custkey % 3 <> 0 THEN
+                e'\\n    <v3:id type="umn" id="autoid:' || esc.pid || '-umn-u' || esc.pid
+                || '">u' || esc.pid || '</v3:id>'
+              ELSE '' END
+           || e'\\n  </personIds>\\n  <visibility>'
+           || CASE WHEN c_custkey % 2 = 0 THEN 'Public' ELSE 'Restricted' END || '</visibility>'
+           || e'\\n  <profiled>' || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END
+           || e'</profiled>\\n</person>\\n' AS xml
+    FROM esc LEFT JOIN jobs ON esc.pid = jobs.pid
+    """
+
+
+@query("pure_person_sync_xml", _PURE_PERSON_SYNC_SQL)
 def pure_person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Pure person.xml.j2 render (edw_to_pure/person.py:33-47)
     as native column expressions over the synthetic cast — every
