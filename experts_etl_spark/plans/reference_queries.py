@@ -2343,6 +2343,137 @@ def pure_person_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The organisation.xml.j2 render as DuckDB string concatenation.  The
+# synthetic cast gives every optional section a deterministic 0-or-1
+# item population (modular arithmetic on s_suppkey) so each section is
+# a CASE block in SQL while every template branch — endDate, parent,
+# nameVariants, CDATA profileInfos, photos, phones, emails,
+# webAddresses, addresses with null-skipped fields, ids — is exercised.
+_PURE_ORG_SYNC_SQL = """
+    SELECT CAST(s_suppkey AS VARCHAR) AS org_id,
+           e'<organisation managedInPure="false">\\n    <organisationId>' || CAST(s_suppkey AS VARCHAR)
+           || e'</organisationId>\\n    <type>' || CASE WHEN s_suppkey % 2 = 0 THEN 'department' ELSE 'college' END
+           || e'</type>\\n    <name>\\n        <v3:text lang="en" country="US">'
+           || replace(replace(replace(replace(replace(s_name,
+                '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&#34;'),
+                '''', '&#39;')
+           || e'</v3:text>\\n    </name>\\n    <startDate>'
+           || strftime(DATE '1990-01-01' + CAST(s_suppkey % 1000 AS INTEGER), '%Y-%m-%d') || '</startDate>'
+           || CASE WHEN s_suppkey % 9 = 0 THEN
+                e'\\n    <endDate>' || strftime(DATE '1990-01-01' + CAST(s_suppkey % 1000 AS INTEGER) + 3650, '%Y-%m-%d') || '</endDate>'
+              ELSE '' END
+           || e'\\n    <visibility>' || CASE WHEN s_suppkey % 2 = 0 THEN 'Public' ELSE 'Restricted' END || '</visibility>'
+           || CASE WHEN s_suppkey % 11 <> 0 THEN
+                e'\\n    <parentOrganisationId>' || CAST(s_nationkey AS VARCHAR) || '</parentOrganisationId>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 3 = 0 THEN
+                e'\\n    <nameVariants>\\n        <nameVariant>\\n            <type>acronym</type>'
+                || e'\\n            <name>\\n                <v3:text lang="en" country="US">ORG'
+                || CAST(s_suppkey AS VARCHAR)
+                || e'</v3:text>\\n            </name>\\n        </nameVariant>\\n    </nameVariants>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 10 = 0 THEN
+                e'\\n    <profileInfos>\\n        <profileInfo>\\n            <type>profile</type>'
+                || e'\\n            <profileInfo>\\n                <v3:text lang="en" country="US">'
+                || e'\\n                  <![CDATA[<b>About unit ' || CAST(s_suppkey AS VARCHAR)
+                || e'</b>]]>\\n                </v3:text>\\n            </profileInfo>\\n        </profileInfo>\\n    </profileInfos>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 8 = 0 THEN
+                e'\\n    <photos>\\n        <photo>\\n            <type>logo</type>'
+                || e'\\n            <photoValue>https://img.example/org/' || CAST(s_suppkey AS VARCHAR)
+                || e'.png</photoValue>\\n            <photoProtocol>http</photoProtocol>\\n        </photo>\\n    </photos>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 5 = 0 THEN
+                e'\\n    <phoneNumbers>\\n        <phoneNumber>\\n            <type>office</type>'
+                || e'\\n            <phoneNumber>612-' || CAST(s_suppkey AS VARCHAR)
+                || e'</phoneNumber>\\n        </phoneNumber>\\n    </phoneNumbers>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 4 = 0 THEN
+                e'\\n    <emails>\\n        <email>\\n            <type>email</type>'
+                || e'\\n            <email>org' || CAST(s_suppkey AS VARCHAR)
+                || e'@umn.edu</email>\\n        </email>\\n    </emails>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 6 = 0 THEN
+                e'\\n    <webAddresses>\\n        <webAddress>\\n            <type>homepage</type>'
+                || e'\\n            <webAddress>\\n                <v3:text lang="en" country="US">https://www.example/unit/'
+                || CAST(s_suppkey AS VARCHAR)
+                || e'</v3:text>\\n            </webAddress>\\n        </webAddress>\\n    </webAddresses>'
+              ELSE '' END
+           || CASE WHEN s_suppkey % 7 = 0 THEN
+                e'\\n    <addresses>\\n        <address>\\n            <type>postal</type>'
+                || e'\\n            <city>Minneapolis</city>'
+                || e'\\n            <postalCode>554' || CAST(s_suppkey % 100 AS VARCHAR) || '</postalCode>'
+                || e'\\n            <country>US</country>\\n        </address>\\n    </addresses>'
+              ELSE '' END
+           || e'\\n    <ids>\\n        <id>\\n            <idSource>dept_id</idSource>'
+           || e'\\n            <id>D' || CAST(s_suppkey AS VARCHAR) || e'</id>\\n        </id>\\n    </ids>'
+           || e'\\n</organisation>' AS xml
+    FROM supplier
+    """
+
+
+@query("pure_organisation_sync_xml", _PURE_ORG_SYNC_SQL)
+def pure_organisation_sync_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Pure organisation.xml.j2 render (byte-parity vs the
+    template proven in tests/test_reference_fixture_parity.py:591) over
+    a deterministic synthetic cast of ``supplier`` — completes the
+    template trio (person/user/organisation) as hash-verified queries.
+    Every optional section populated 0-or-1 by modular arithmetic so
+    all branches execute."""
+    from experts_etl_spark.plans.xml_sync import pure_organisation_xml
+
+    s = read_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ks = k.cast("string")
+
+    def tv(t: str, v):
+        return F.struct(F.lit(t).alias("type"), v.alias("value"))
+
+    def maybe(cond, item):
+        return F.when(cond, F.array(item))
+
+    start = F.date_add(F.lit("1990-01-01").cast("date"), (k % 1000).cast("int"))
+    addr = F.struct(
+        F.lit("postal").alias("type"),
+        F.lit("Minneapolis").alias("city"),
+        F.concat(F.lit("554"), (k % 100).cast("string")).alias("postalcode"),
+        F.lit(None).cast("string").alias("street"),
+        F.lit(None).cast("string").alias("building"),
+        F.lit("US").alias("country"),
+        F.lit(None).cast("string").alias("subdivision"),
+        F.lit(None).cast("string").alias("geospatial_point"),
+    )
+    return s.select(
+        ks.alias("org_id"),
+        pure_organisation_xml(
+            ks,
+            F.when(k % 2 == 0, F.lit("department")).otherwise(F.lit("college")),
+            F.col("s_name"),
+            start,
+            F.when(k % 9 == 0, F.date_add(start, 3650)),
+            F.when(k % 2 == 0, F.lit("Public")).otherwise(F.lit("Restricted")),
+            F.when(k % 11 != 0, F.col("s_nationkey").cast("string")),
+            maybe(k % 3 == 0, tv("acronym", F.concat(F.lit("ORG"), ks))),
+            maybe(
+                k % 10 == 0,
+                tv("profile", F.concat(F.lit("<b>About unit "), ks, F.lit("</b>"))),
+            ),
+            maybe(
+                k % 8 == 0,
+                tv("logo", F.concat(F.lit("https://img.example/org/"), ks, F.lit(".png"))),
+            ),
+            maybe(k % 5 == 0, tv("office", F.concat(F.lit("612-"), ks))),
+            maybe(k % 4 == 0, tv("email", F.concat(F.lit("org"), ks, F.lit("@umn.edu")))),
+            maybe(
+                k % 6 == 0,
+                tv("homepage", F.concat(F.lit("https://www.example/unit/"), ks)),
+            ),
+            maybe(k % 7 == 0, addr),
+            F.array(tv("dept_id", F.concat(F.lit("D"), ks))),
+        ).alias("xml"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew pack — same answers as the naive plans, skew-proof physical shape
 # ---------------------------------------------------------------------------

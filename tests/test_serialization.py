@@ -92,7 +92,10 @@ def test_run_person_sync_writes_ordered_file(spark, tmp_path):
     path = str(tmp_path / "person_sync.xml")
     n = run_person_sync(spark, "/root/testdata/sf0.001", path)
     lines = open(path).read().splitlines()
-    assert lines[0] == "<persons>" and lines[-1] == "</persons>"
+    assert lines[0] == (
+        '<persons xmlns="v1.unified-person-sync.pure.atira.dk"'
+        ' xmlns:v3="v3.commons.pure.atira.dk">'
+    ) and lines[-1] == "</persons>"
     assert n == len(lines) - 2
     # elements are in person_id order
     import re
