@@ -35,12 +35,16 @@ HEADLINE = [
     # hierarchy / serialization / skew packs
     "tree_depths",
     "person_sync_xml",
+    "person_cycle_xml",
+    "pub_cycle",
     "skew_tolerant_counts",
     # LLM-data pipeline pack
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_winnow",
     "ann_topk_bucketed",
+    "ann_topk_ivf_refined",
     "text_quality_metrics",
     "corpus_curation",
 ]

@@ -2847,7 +2847,11 @@ def person_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     newch AS (
       SELECT pub_id, person_id, ordinal, role, emplid FROM (
-        SELECT *, row_number() OVER (PARTITION BY pub_id, person_id ORDER BY ordinal) AS rn
+        -- role in the ORDER BY makes the tie-break total: the synthetic
+        -- lineitem contains duplicate (order, supp, linenumber) rows
+        -- that differ only in returnflag
+        SELECT *, row_number() OVER (PARTITION BY pub_id, person_id
+                                     ORDER BY ordinal, role) AS rn
         FROM valid) WHERE rn = 1
     ),
     pubmeta AS (
@@ -2995,8 +2999,12 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pub_id")
     )
     touched = ok.join(gated.select("pub_id"), "pub_id", "left_semi")
-    # J8: first ordinal per (pub, person) — reuses the pub_id exchange
-    dw = Window.partitionBy("pub_id", "person_id").orderBy("ordinal")
+    # J8: first ordinal per (pub, person) — reuses the pub_id exchange.
+    # role joins the ORDER BY because the synthetic lineitem holds
+    # duplicate (order, supp, linenumber) rows differing only in
+    # returnflag — without it the tie-break is not total (surfaced by
+    # the sf0.1 cross-engine check; sf0.01 happened to have no ties).
+    dw = Window.partitionBy("pub_id", "person_id").orderBy("ordinal", "role")
     newch = (
         valid.withColumn("_rn", F.row_number().over(dw))
         .filter(F.col("_rn") == 1)

@@ -217,3 +217,38 @@ def test_reconcile_sets_round_trip(spark, cur_ids, des_ids):
     assert add == set(des_ids) - set(cur_ids)
     assert delete == set(cur_ids) - set(des_ids)
     assert (set(cur_ids) | add) - delete == set(des_ids)
+
+
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+docs_strategy = st.lists(
+    st.lists(word, min_size=3, max_size=10), min_size=2, max_size=8
+)
+
+
+@given(docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
+    """Every pair LSH reports passed the exact verify, so the LSH output
+    must be a SUBSET of the exact shingle-join Jaccard pairs at the same
+    threshold, with identical scores — LSH may only lose pairs (banding
+    misses), never invent or misscore them."""
+    from experts_etl_spark.llm.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    lsh = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_lsh_dedup(df, "text", "doc_id", 0.5).collect()
+    }
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", 0.5).collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in exact, f"LSH invented pair {pair}"
+        assert abs(exact[pair] - j) < 1e-12
