@@ -146,6 +146,21 @@ def ivf_topk(
             "_ccos",
             cosine(dot(F.col("_q"), F.col("centq")), F.col("_n2"), F.col("centn2")),
         )
+        if n == 1:
+            # Corpus-side argmax: max_by is a hash aggregate with
+            # map-side partial combine — only the best-so-far row per
+            # vector crosses the shuffle, vs the window formulation
+            # shuffling all |centroids| scored copies and sorting them.
+            # Tie-break (max cos, then MIN cent_id) via struct ordering.
+            best = F.max_by(
+                F.struct("cent_id", "_q", "_n2"),
+                F.struct(F.col("_ccos"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_best")
+            return (
+                scored.groupBy(sid)
+                .agg(best)
+                .select(sid, "_best.cent_id", "_best._q", "_best._n2")
+            )
         w = Window.partitionBy(sid).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
         return (
             scored.withColumn("_crn", F.row_number().over(w))
@@ -239,11 +254,16 @@ def kmeans_refined_assign(
         scored = n.join(F.broadcast(cents_df), F.lit(True)).withColumn(
             "cos", cosine(dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        # argmax via max_by — see _kmeans_train for the shuffle rationale
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "cos"),
+                    F.struct(F.col("cos"), (-F.col("cent_id")).alias("_nc")),
+                ).alias("_best")
+            )
+            .select("vec_id", "_best.cent_id", "_best.cos")
         )
 
     final = assign(cents)
@@ -274,11 +294,18 @@ def _kmeans_train(
         scored = n.join(F.broadcast(cents), F.lit(True)).withColumn(
             "cos", cosine(dot(F.col("q"), F.col("cq")), F.col("n2"), F.col("cn2"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+        # Per-vector argmax via max_by (hash agg, map-side combine) —
+        # the window formulation shuffles |centroids| copies of the
+        # corpus and sorts; this ships one best-so-far row per vector.
         a = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "q"),
+                    F.struct(F.col("cos"), (-F.col("cent_id")).alias("_nc")),
+                ).alias("_best")
+            )
+            .select("vec_id", "_best.cent_id", "_best.q")
         )
         ex = a.select("cent_id", F.posexplode("q").alias("d", "val"))
         sums = ex.groupBy("cent_id", "d").agg(
