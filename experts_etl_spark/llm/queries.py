@@ -801,12 +801,66 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_metadata(with_binary_payload(d, "text", "doc_id"))
 
 
-@query("multimodal_frame_sample")  # mapInPandas path: rows-only
+@query(
+    "multimodal_frame_sample",
+    # the fake sampler is pure arithmetic on the payload length: chunks
+    # of 64 bytes, every 4th kept; the last chunk is short by
+    # (64*nch - L) bytes and is kept iff its index ≡ 0 (mod 4)
+    """
+    WITH b AS (
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len
+      FROM documents
+    ), c AS (
+      SELECT doc_id, len, CAST(ceil(len / 64.0) AS BIGINT) AS nch FROM b
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN nch = 0 THEN 0 ELSE (nch - 1) // 4 + 1 END AS INT) AS n_frames,
+           CAST(CASE WHEN nch = 0 THEN 0 ELSE
+                64 * ((nch - 1) // 4 + 1)
+                - CASE WHEN (nch - 1) % 4 = 0 THEN 64 * nch - len ELSE 0 END
+           END AS BIGINT) AS frame_bytes
+    FROM c
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake frame-sampler over binary payloads
-    (mapInPandas; real codecs stubbed per llm/multimodal.py)."""
+    (mapInPandas; real codecs stubbed per llm/multimodal.py).  The
+    sampler's chunk arithmetic is SQL-expressible, so even this
+    mapInPandas path gets a hash-verified oracle."""
     d = read_table(spark, sf_dir, "documents")
     return frame_sample(with_binary_payload(d, "text", "doc_id"))
+
+
+@query(
+    "multimodal_decode_embed",
+    # byte i of the md5 digest via hex-digit arithmetic (no strtol in
+    # DuckDB): 16*digit(2i) + digit(2i+1), normalized /255
+    """
+    SELECT doc_id,
+           (16 * (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) / 255.0 AS f0,
+           (16 * (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) / 255.0 AS f1,
+           (16 * (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1)) / 255.0 AS f2,
+           (16 * (strpos('0123456789abcdef', substr(md5(text), 7, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(text), 8, 1)) - 1)) / 255.0 AS f3
+    FROM documents
+    """,
+)
+def multimodal_decode_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → feature-extract composite: binary payloads through the
+    Arrow-batched fake decoder (md5-derived pseudo-features standing in
+    for the stubbed codec, llm/multimodal.py:fake_decode_features) —
+    the full mapInPandas embed pipeline with a hash-verified oracle."""
+    from experts_etl_spark.llm.multimodal import fake_decode_features
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = fake_decode_features(with_binary_payload(d, "text", "doc_id"), dims=4)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    )
 
 
 @query(
