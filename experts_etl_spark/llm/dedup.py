@@ -89,7 +89,12 @@ def doc_shingles(
     return sh.filter(F.col("_tail").isNotNull()).drop("_tail").distinct()
 
 
-def with_max_df(block: DataFrame, key_col: str, max_df: int | None) -> DataFrame:
+def with_max_df(
+    block: DataFrame,
+    key_col: str,
+    max_df: int | None,
+    broadcast_hot: bool = True,
+) -> DataFrame:
     """Frequency cap for blocked self-joins: drop block keys appearing in
     more than ``max_df`` documents.
 
@@ -109,16 +114,34 @@ def with_max_df(block: DataFrame, key_col: str, max_df: int | None) -> DataFrame
     EVERY row of the hot key into a single partition and sort it —
     materializing exactly the skew the cap exists to remove.  The
     over-cap key set is tiny by construction (stop-shingles), hence
-    always broadcastable."""
+    always broadcastable.
+
+    Bound on the broadcast side: at most ``total_block_rows / max_df``
+    keys can exceed the cap, so the forced broadcast is safe whenever
+    ``max_df ≳ corpus_rows / 10M`` (keeps the hot set under ~10M keys;
+    Spark's broadcast exchange additionally hard-fails, rather than
+    silently OOMs, past its own size limit).  Callers that cannot
+    guarantee that bound (tiny ``max_df`` on a huge corpus) should pass
+    ``broadcast_hot=False`` to use a shuffle anti-join instead — AQE
+    still converts it to a broadcast at runtime if the measured hot set
+    is small, so the flag only removes the forced hint.
+
+    Null keys: rows whose ``key_col`` is null pass through unfiltered
+    regardless of frequency (a null key never matches a join condition,
+    and null is excluded from the hot set explicitly).  All current
+    callers produce non-null keys by construction."""
     if max_df is None:
         return block
     hot = (
-        block.groupBy(key_col)
+        block.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > max_df)
         .select(key_col)
     )
-    return block.join(F.broadcast(hot), key_col, "left_anti")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return block.join(hot, key_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -306,8 +306,13 @@ class XsdSchema:
         count = 0
         while count < p.max and i < len(children) or (count < p.min):
             j = self._match_once(p, children, i, errors, path)
-            if j is None or j == i:
+            if j is None:
                 break
+            if j == i:
+                # Zero-width success (e.g. a choice whose branches are all
+                # optional): the particle matched without consuming input,
+                # which satisfies ANY minOccurs — repeating it would loop.
+                return i
             i, count = j, count + 1
         return i if count >= p.min else None
 
@@ -352,12 +357,21 @@ class XsdSchema:
                 j = j2
             return j
         if p.kind == "choice":
+            # Each branch is attempted against a private error buffer so an
+            # abandoned attempt (branch rejected, another chosen) cannot
+            # leak its child-validation errors into the shared list; only
+            # the committed branch's errors are merged.
+            zero_width = False
             for sub in p.items:
-                j = self._match(sub, children, i, errors, path)
+                branch_errors: list[str] = []
+                j = self._match(sub, children, i, branch_errors, path)
                 if j is not None and j > i:
+                    errors.extend(branch_errors)
                     return j
+                if j == i:
+                    zero_width = True
             # all branches empty-matched: a zero-width success
-            return i
+            return i if zero_width else None
         if p.kind == "all":
             by_name = {}
             for sub in p.items:

@@ -25,5 +25,7 @@ from experts_etl_spark.streaming.incremental import (  # noqa: F401
     stream_events,
     run_incremental_consume,
     run_windowed_counts,
+    run_sessions,
     run_stateful_sessions,
+    session_window_sessions_frame,
 )

@@ -85,6 +85,21 @@ def run_incremental_consume(
         latest = latest.withColumn("part_key", part_key)
         spark_l = batch.sparkSession
         if os.path.exists(target_dir) and os.listdir(target_dir):
+            if not any(
+                e.startswith("part_key=") for e in os.listdir(target_dir)
+            ):
+                # Legacy unpartitioned target (written by a pre-layout
+                # version): the partition-pruned read below would fail on
+                # the missing part_key column.  Migrate once — read the
+                # whole legacy table, stamp part_key, rewrite
+                # hive-partitioned.  One full rewrite, then every later
+                # tick is churn-proportional again.
+                legacy = spark_l.read.parquet(target_dir).withColumn(
+                    "part_key", part_key
+                ).localCheckpoint(eager=True)
+                legacy.write.mode("overwrite").partitionBy("part_key").parquet(
+                    target_dir
+                )
             # Bounded driver read: at most n_partitions scalar ids.
             touched = [
                 r[0] for r in latest.select("part_key").distinct().collect()
@@ -204,6 +219,72 @@ def stateful_sessions_frame(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame
     )
 
 
+def session_window_sessions_frame(
+    ev: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Order-tolerant streaming sessionization — the DEFAULT session
+    path: a watermarked native ``session_window`` aggregation.  Events
+    arriving out of event-time order (within the watermark) merge into
+    the correct session because the state store keeps every session open
+    until the watermark passes its close; adjacent sessions whose gap an
+    out-of-order arrival bridges are merged by the operator.  Gap
+    semantics are session_window's (a session extends while the gap is
+    STRICTLY below ``gap_seconds``) — identical to the batch
+    ``session_window_agg`` query it twins."""
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_seconds} seconds").alias("win"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def run_sessions(
+    spark: SparkSession,
+    src: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    ordered_feed: bool = False,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming sessionization entry point.
+
+    Default (``ordered_feed=False``): the watermarked ``session_window``
+    aggregation — tolerates files/events arriving out of event-time
+    order up to ``watermark``.  Sessions are emitted once the watermark
+    passes their close (append mode), so a finite drain only emits
+    sessions that end at least ``watermark`` before the feed's max
+    event time — the price of order tolerance.
+
+    ``ordered_feed=True``: the ``applyInPandasWithState`` fast path
+    (:func:`run_stateful_sessions`) — constant per-user state and
+    immediate emission, but assumes event-time-ordered arrival."""
+    if ordered_feed:
+        return run_stateful_sessions(
+            spark, src, checkpoint_dir, gap_seconds, max_files_per_trigger
+        )
+    ev = stream_events(spark, src, max_files_per_trigger).select("user_id", "ts")
+    q = (
+        session_window_sessions_frame(ev, gap_seconds, watermark)
+        .writeStream.format("memory")
+        .queryName("session_window_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("session_window_sessions")
+
+
 def run_stateful_sessions(
     spark: SparkSession,
     src: str,
@@ -214,11 +295,11 @@ def run_stateful_sessions(
     """Drain ``src`` (one file per micro-batch by default, to exercise
     cross-batch state) and return every CLOSED session.
 
-    Unlike the consume/merge path (order-tolerant via the freshness
-    guard) and the windowed aggregation (order-tolerant via watermark),
-    sessionization state assumes files arrive in event-time order — the
-    file source's modification-time ordering.  Out-of-order feeds need
-    the watermarked window variant instead."""
+    This is the ORDERED-FEED fast path: sessionization state assumes
+    files arrive in event-time order (the file source's
+    modification-time ordering).  Out-of-order feeds should use
+    :func:`run_sessions` (the watermarked ``session_window`` default)
+    instead."""
     ev = stream_events(spark, src, max_files_per_trigger).select(
         "user_id", "ts"
     )

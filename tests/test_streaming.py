@@ -187,3 +187,104 @@ def test_incremental_consume_rewrites_only_touched_partitions(spark, tmp_path):
     }
     got = spark.read.parquet(target).filter(F.col("user_id") == hot_user).collect()
     assert [r.event_id for r in got] == [10_000]
+
+
+def test_incremental_consume_migrates_legacy_unpartitioned_target(spark, tmp_path):
+    """A target written by the pre-partitioned layout (flat parquet, no
+    part_key= dirs) is migrated once into the hive-partitioned layout,
+    then merged normally (ADVICE r2 #2)."""
+    import datetime
+    import glob
+    import shutil
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    t0 = datetime.datetime(2024, 1, 1)
+    target = str(tmp_path / "target")
+    # legacy layout: compacted rows, flat files, no part_key column
+    spark.createDataFrame(
+        [(100 + i, t0, i, "legacy", 1.0) for i in range(10)], schema
+    ).coalesce(1).write.parquet(target)
+    assert not any(e.startswith("part_key=") for e in os.listdir(target))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [
+            (500, t0 + datetime.timedelta(days=1), 3, "update", 9.0),
+            (99, t0 + datetime.timedelta(days=1), 4, "stale", 0.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(stage))
+    (src,) = glob.glob(str(stage / "*.parquet"))
+    shutil.copy(src, feed / "wave.parquet")
+
+    run_incremental_consume(
+        spark,
+        str(feed),
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_partitions=4,
+    )
+    assert any(e.startswith("part_key=") for e in os.listdir(target))
+    rows = {
+        r.user_id: r.event_id
+        for r in spark.read.parquet(target).select("user_id", "event_id").collect()
+    }
+    # user 3 upgraded (500 > 103), user 4 kept legacy (99 < 104 freshness
+    # guard), everyone else carried over by the migration
+    assert rows[3] == 500 and rows[4] == 104
+    assert len(rows) == 10
+
+
+def test_session_window_sessions_tolerate_out_of_order_feed(spark, tmp_path):
+    """The default streaming session path (watermarked session_window)
+    must produce correct sessions from files arriving OUT of event-time
+    order — the case the applyInPandasWithState fast path documents away
+    (VERDICT r2 #3 / next-round #6)."""
+    import datetime
+    import glob
+    import shutil
+
+    from experts_etl_spark.streaming import run_sessions
+
+    schema = "user_id bigint, ts timestamp"
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def land(rows, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        (src,) = glob.glob(str(stage / "*.parquet"))
+        dst = feed / f"{name}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # file 0 carries the LATER events, file 1 the earlier ones (still
+    # within the 30-minute watermark), file 2 a far-future sentinel that
+    # advances the watermark so every real session flushes in append mode.
+    land([(1, t0 + 8 * m), (2, t0 + 15 * m)], "f0", 1_700_000_000)
+    land([(1, t0), (1, t0 + 5 * m), (2, t0 + 1 * m)], "f1", 1_700_000_060)
+    land([(999, t0 + datetime.timedelta(hours=10))], "f2", 1_700_000_120)
+
+    got = run_sessions(
+        spark,
+        str(feed),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        gap_seconds=600,
+        watermark="30 minutes",
+        max_files_per_trigger=1,
+    )
+    have = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.filter(F.col("user_id") != 999).collect()
+    )
+    # hand oracle (gap 10 min): user 1 events at +0, +5, +8 chain into one
+    # session of 3; user 2's +1 and +15 are 14 min apart -> two singletons.
+    assert have == [
+        (1, t0, t0 + 8 * m, 3),
+        (2, t0 + 1 * m, t0 + 1 * m, 1),
+        (2, t0 + 15 * m, t0 + 15 * m, 1),
+    ]

@@ -143,3 +143,78 @@ def test_validator_rejects_out_of_order_sequence(spark, schema):
         ET.fromstring(_document([frag], PERSONS_HEADER, "</persons>"))
     )
     assert errs != []
+
+
+_CHOICE_XSD = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:t" xmlns:t="urn:t"
+           elementFormDefault="qualified">
+  <xs:simpleType name="abEnum">
+    <xs:restriction base="xs:string">
+      <xs:enumeration value="ok"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:element name="root">
+    <xs:complexType>
+      <xs:choice>
+        <xs:element name="a" type="xs:string" minOccurs="0"/>
+        <xs:element name="b" type="xs:string" minOccurs="0"/>
+      </xs:choice>
+    </xs:complexType>
+  </xs:element>
+  <xs:element name="pick">
+    <xs:complexType>
+      <xs:choice>
+        <xs:sequence>
+          <xs:element name="a" type="t:abEnum"/>
+          <xs:element name="b" type="xs:string"/>
+        </xs:sequence>
+        <xs:sequence>
+          <xs:element name="a" type="xs:string"/>
+          <xs:element name="c" type="xs:string"/>
+        </xs:sequence>
+      </xs:choice>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@pytest.fixture(scope="module")
+def choice_schema(tmp_path_factory) -> XsdSchema:
+    p = tmp_path_factory.mktemp("xsd") / "choice.xsd"
+    p.write_text(_CHOICE_XSD)
+    return XsdSchema.load(str(p))
+
+
+def test_required_choice_of_all_optional_branches_is_satisfiable(choice_schema):
+    # A required (minOccurs=1) choice whose branches are all optional can
+    # match zero-width; an empty element must validate (ADVICE r2 #3).
+    assert choice_schema.validate(ET.fromstring('<root xmlns="urn:t"/>')) == []
+    assert (
+        choice_schema.validate(
+            ET.fromstring('<root xmlns="urn:t"><a>x</a></root>')
+        )
+        == []
+    )
+
+
+def test_zero_width_choice_still_rejects_unexpected_children(choice_schema):
+    errs = choice_schema.validate(
+        ET.fromstring('<root xmlns="urn:t"><z>x</z></root>')
+    )
+    assert any("unexpected element" in e for e in errs)
+
+
+def test_abandoned_choice_branch_errors_do_not_leak(choice_schema):
+    # <a>bad</a><c/> fails branch 1 (enum violation on a, then no b) but
+    # commits branch 2 cleanly; branch 1's enum error must not leak.
+    doc = '<pick xmlns="urn:t"><a>bad</a><c>y</c></pick>'
+    assert choice_schema.validate(ET.fromstring(doc)) == []
+
+
+def test_committed_choice_branch_errors_are_kept(choice_schema):
+    # Both branches fail here (enum violation + missing b / missing c);
+    # the document is invalid and must say so.
+    doc = '<pick xmlns="urn:t"><a>bad</a><b>y</b></pick>'
+    errs = choice_schema.validate(ET.fromstring(doc))
+    assert errs != []
