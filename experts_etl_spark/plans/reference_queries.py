@@ -2902,13 +2902,28 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       :387-405)
 
     Synthetic cast: orders=api_pub feed, lineitem=states+associations+
-    prior children, supplier=person dim, nation=org dim.  One scan per
-    projection of lineitem, dims broadcast, all shuffles keyed on
-    pub_id (see tests/test_plans.py plan budget)."""
+    prior children, supplier=person dim, nation=org dim.  ONE physical
+    pass over each fact input: the six needed lineitem columns are
+    projected once and lazily ``localCheckpoint``-ed (the shared-subtree
+    pattern from llm/dedup.py) so the three logical projections (states,
+    associations, prior children) and the twice-referenced veto subtree
+    read the materialized narrow rows instead of re-scanning the fact
+    table; the gated pub set is checkpointed the same way so orders is
+    scanned once.  Dims broadcast, all shuffles keyed on pub_id (see
+    tests/test_plans.py plan budget)."""
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     sup = read_table(spark, sf_dir, "supplier")
     nat = read_table(spark, sf_dir, "nation")
+
+    base = li.select(
+        F.col("l_orderkey").alias("pub_id"),
+        F.col("l_suppkey").alias("person_id"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("l_shipdate").alias("shipdate"),
+    ).localCheckpoint(eager=False)
 
     orgdim = nat.filter(F.col("n_nationkey") % 5 != 0).select(
         F.col("n_nationkey").alias("org_id")
@@ -2928,21 +2943,23 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tails[1].alias("pure_type"),
         tails[0].alias("pure_subtype"),
     ).filter(F.col("pure_type").isin("o", "f"))
-    # J6: owner-org existence gate
+    # J6: owner-org existence gate (checkpointed: referenced by both the
+    # touched-set semi-join and the pubmeta join)
     gated, _ = existence_gate(
         pubs, orgdim.select(F.col("org_id").alias("owner_org")), ["owner_org"]
     )
+    gated = gated.localCheckpoint(eager=False)
     # F12/F11: state fan-out with precision
-    st = li.select(
-        F.col("l_orderkey").alias("pub_id"),
-        F.when(F.col("l_returnflag") == "R", "issued")
-        .when(F.col("l_returnflag") == "A", "eissued")
+    st = base.select(
+        "pub_id",
+        F.when(F.col("returnflag") == "R", "issued")
+        .when(F.col("returnflag") == "A", "eissued")
         .otherwise("inpress")
         .alias("state"),
-        F.col("l_shipdate").alias("ts"),
-        (F.col("l_linestatus") == "O").alias("cur"),
-        F.when((F.col("l_linenumber") % 3).cast("int") == 0, 366)
-        .when((F.col("l_linenumber") % 3).cast("int") == 1, 31)
+        F.col("shipdate").alias("ts"),
+        (F.col("linestatus") == "O").alias("cur"),
+        F.when((F.col("linenumber") % 3).cast("int") == 0, 366)
+        .when((F.col("linenumber") % 3).cast("int") == 1, 31)
         .otherwise(1)
         .alias("prec"),
     )
@@ -2970,11 +2987,11 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("person_org"),
         F.concat(F.lit("E"), F.col("s_suppkey").cast("string")).alias("emplid"),
     )
-    auth = li.select(
-        F.col("l_orderkey").alias("pub_id"),
-        F.col("l_suppkey").alias("person_id"),
-        F.col("l_linenumber").alias("ordinal"),
-        F.lower(F.col("l_returnflag")).alias("role"),
+    auth = base.select(
+        "pub_id",
+        "person_id",
+        F.col("linenumber").alias("ordinal"),
+        F.lower(F.col("returnflag")).alias("role"),
     )
     aj = (
         auth.join(F.broadcast(persondim), "person_id", "left")
@@ -3025,10 +3042,10 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new").alias("src"),
         *meta_cols,
     )
-    prior = li.filter(F.col("l_linenumber") <= 2).select(
-        F.col("l_orderkey").alias("pub_id"),
-        F.col("l_suppkey").alias("person_id"),
-        F.col("l_linenumber").cast("int").alias("person_ordinal"),
+    prior = base.filter(F.col("linenumber") <= 2).select(
+        "pub_id",
+        "person_id",
+        F.col("linenumber").cast("int").alias("person_ordinal"),
         F.lit("prior").alias("person_role"),
         F.lit(None).cast("string").alias("emplid"),
         F.lit("prior").alias("src"),

@@ -123,14 +123,18 @@ def test_composite_pipelines_shuffle_budget(spark):
 def test_pub_cycle_plan_budget(spark):
     """The document-side composite (pub_cycle): every shuffle keyed on
     pub_id, dims broadcast (person/org dims never shuffle the fact), no
-    cartesian, and the M5 touched-set derivation stays the cheap
-    aggregate — lineitem appears once per distinct projection (states,
-    associations, touched-agg, prior children), never more."""
+    cartesian — and each fact input crosses the scan boundary ONCE: the
+    narrow lineitem projection and the gated pub set are lazily
+    localCheckpoint-ed, so the final plan contains zero fact parquet
+    scans (the checkpoint subtree materializes each exactly once) and
+    every logical projection reads the checkpointed rows (ExistingRDD)."""
     import re
 
     p = plan_of(QUERIES["pub_cycle"](spark, SF_SMOKE))
     assert shuffles(p) <= 6, shuffles(p)
-    assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    assert len(re.findall(r"Scan parquet[^\n]*lineitem", p)) <= 4
-    assert len(re.findall(r"Scan parquet[^\n]*orders", p)) <= 2
+    # fact tables never re-scanned in the composite plan...
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", p)) == 0
+    assert len(re.findall(r"Scan parquet[^\n]*orders", p)) == 0
+    # ...their checkpointed projections are what downstream reads
+    assert "ExistingRDD" in p
