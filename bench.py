@@ -91,7 +91,10 @@ def main() -> None:
         return f"sh{sh}/bc{p.count('BroadcastExchange')}/sc{p.count('Scan parquet')}{flags}"
 
     # Warm the JVM/codegen once so timings measure the engine, not startup.
-    person_assembly(spark, SF_DIR).count()
+    try:
+        person_assembly(spark, SF_DIR).count()
+    except Exception:
+        pass  # the per-query isolation below records the real failure
 
     # Each query runs three times: the first run pays whole-stage-codegen
     # compilation + broadcast build (one-time costs that amortize over a
@@ -100,19 +103,26 @@ def main() -> None:
     # estimator, since host-level scheduling jitter only ever adds time.
     cold = 0.0
     t0 = time.time()
+    errors: dict[str, str] = {}
 
     def timed(name, fn):
         nonlocal cold
-        plans[name] = plan_signature(fn())
-        start = time.time()
-        fn().count()
-        cold += time.time() - start
-        warm = []
-        for _ in range(2):
+        # Per-query fault isolation: one broken query must never zero the
+        # whole round's perf evidence — record its error and keep going.
+        try:
+            plans[name] = plan_signature(fn())
             start = time.time()
             fn().count()
-            warm.append(time.time() - start)
-        timings[name] = round(min(warm), 3)
+            cold += time.time() - start
+            warm = []
+            for _ in range(2):
+                start = time.time()
+                fn().count()
+                warm.append(time.time() - start)
+            timings[name] = round(min(warm), 3)
+        except Exception as exc:  # noqa: BLE001 — isolation boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            plans.pop(name, None)
         # Release the query's residue (localCheckpoint blocks, caches,
         # broadcasts) before timing the next one: ContextCleaner only
         # reclaims them after the Python refs die and the JVM GCs, so
@@ -144,6 +154,7 @@ def main() -> None:
                 "plans": plans,
                 "cold_total_sec": round(cold, 3),
                 "wall_sec": wall,
+                "errors": errors,
                 "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
             }
         )

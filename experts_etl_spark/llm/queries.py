@@ -461,7 +461,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
              list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) AS cos
-      FROM n p JOIN n c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+      FROM n p JOIN n c
+        ON (p.bucket = c.bucket
+            OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+       AND p.vec_id <> c.vec_id
       WHERE p.vec_id < 32
     )
     SELECT probe_id, cand_id, rank, cos FROM (
@@ -472,7 +475,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF/LSH-style ANN: candidates restricted to the probe's 8-bit
-    sign-random-projection bucket — the linear-scale path."""
+    sign-random-projection bucket and its Hamming-1 neighbors
+    (multi-probe) — the linear-scale path.  The oracle's equivalent
+    blocking condition is xor(buckets) ∈ {0} ∪ powers-of-two."""
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 32)
     return bucketed_ann_topk(e, probes, "vec_id", "embedding", 3)
@@ -516,14 +521,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base)
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
-    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM n a JOIN n b
+      ON (a.bucket = b.bucket
+          OR xor(a.bucket, b.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+     AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
     """,
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-bucketed near-dup (recall/scale tradeoff documented in
-    llm/similarity.py); the oracle reuses ann_topk_bucketed's SRP-bucket
-    SQL so the blocked pair set itself is hash-verified."""
+    """SRP-bucketed near-dup with Hamming-1 multi-probe (recall/scale
+    tradeoff documented in llm/similarity.py); the oracle's equivalent
+    blocking condition is xor(buckets) ∈ {0} ∪ powers-of-two, so the
+    blocked pair set itself is hash-verified."""
     e = read_table(spark, sf_dir, "embeddings")
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 
@@ -657,6 +666,19 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.vec_id < 16
       ) WHERE rank <= 3
     ),
+    bmapprox AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) DESC,
+                          c.vec_id) AS rank
+        FROM bn p JOIN bn c
+          ON (p.bucket = c.bucket
+              OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+         AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < 16
+      ) WHERE rank <= 3
+    ),
     c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
     {_kmeans_iter_sql('c0', 1)},
     {_kmeans_iter_sql('c1', 2)},
@@ -716,6 +738,11 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
              (SELECT count(*) FROM exact) AS possible
       UNION ALL
+      SELECT 'srp_multiprobe' AS method,
+             (SELECT count(*) FROM exact e JOIN bmapprox a
+                ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+      UNION ALL
       SELECT 'ivf_nprobe2' AS method,
              (SELECT count(*) FROM exact e JOIN iapprox a
                 ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
@@ -740,9 +767,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Measured at sf0.01 (16 trained centroids over the synthetic
     uniform-ish embeddings — a hard case for coarse quantization):
-    srp_bucketed 0.02 (8-bit hard bucketing, no multi-probe),
-    ivf_nprobe2 0.33, ivf_nprobe4 0.63 — recall scales with nprobe at
-    proportional cost, which is exactly the knob a 100 TB deployment
+    srp_bucketed 0.02 (8-bit hard bucketing, single probe),
+    srp_multiprobe (Hamming-1 shell, 9 probes) well above it,
+    ivf_nprobe2 0.33, ivf_nprobe4 0.63 — recall scales with probe count
+    at proportional cost, which is exactly the knob a 100 TB deployment
     tunes."""
     from experts_etl_spark.llm.similarity import (
         bucketed_ann_topk,
@@ -757,7 +785,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_refined_centroids(e, "vec_id", "embedding", 37, 2)
     methods = {
-        "srp_bucketed": bucketed_ann_topk(e, probes, "vec_id", "embedding", 3),
+        "srp_bucketed": bucketed_ann_topk(
+            e, probes, "vec_id", "embedding", 3, probe_hamming=0
+        ),
+        "srp_multiprobe": bucketed_ann_topk(
+            e, probes, "vec_id", "embedding", 3, probe_hamming=1
+        ),
         "ivf_nprobe2": ivf_topk(e, probes, "vec_id", "embedding", 3, centroids=cents),
         "ivf_nprobe4": ivf_topk(
             e, probes, "vec_id", "embedding", 3, nprobe=4, centroids=cents

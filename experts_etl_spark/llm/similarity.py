@@ -82,21 +82,46 @@ def srp_bucket(vec: Column, bits: int = 8) -> Column:
     return out
 
 
+def probe_neighborhood(bucket: Column, bits: int, hamming: int) -> Column:
+    """Multi-probe bucket set: the bucket itself plus (for ``hamming=1``)
+    every single-bit flip — ``bits + 1`` distinct buckets.  A vector near
+    a sign boundary in ONE projection lands one bit-flip away; probing
+    the Hamming-1 shell recovers exactly those misses at
+    ``bits+1``× probe-side fan-out (probe side only — the corpus is
+    never expanded, so the candidate join stays linear in corpus size)."""
+    if hamming <= 0:
+        return F.array(bucket)
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+
+
 def bucketed_near_dup(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float, bits: int = 8
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the SRP bucket.
 
     Near-identical vectors share sign patterns, so true near-dups
     co-bucket with high probability; the join shuffles on the bucket
-    key — linear, not quadratic.  (Exact recall needs multi-probe; this
-    is the documented scale/recall tradeoff.)
-    """
+    key — linear, not quadratic.  ``probe_hamming=1`` (default) also
+    probes every Hamming-1 neighbor bucket from the left side, catching
+    pairs split by a single sign boundary at (bits+1)× left-side
+    fan-out; each unordered pair still matches at most once because the
+    right side keeps its unique bucket and the id1<id2 filter
+    canonicalizes orientation."""
     q = with_quantized(emb, vec_col).select(
         F.col(id_col), F.col("_q"), F.col("_n2"),
         srp_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    a = q.alias("a")
+    a = q.select(
+        F.col(id_col), F.col("_q"), F.col("_n2"),
+        F.explode(
+            probe_neighborhood(F.col("bucket"), bits, probe_hamming)
+        ).alias("bucket"),
+    ).alias("a")
     b = q.alias("b")
     pairs = (
         a.join(b, on="bucket")
@@ -199,17 +224,24 @@ def ivf_topk(
 
 def bucketed_ann_topk(
     emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str, k: int,
-    bits: int = 8,
+    bits: int = 8, probe_hamming: int = 1,
 ) -> DataFrame:
     """IVF/LSH-style ANN: candidates restricted to the probe's SRP
-    bucket, then exact cosine + top-k within the bucket."""
+    bucket (plus, by default, its Hamming-1 neighbor buckets —
+    multi-probe), then exact cosine + top-k.  The expansion is
+    probe-side only ((bits+1)× a small broadcast set); a candidate can
+    never appear twice for one probe because it owns exactly one
+    bucket."""
     cand = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col("_q").alias("cq"),
         F.col("_n2").alias("cn2"), srp_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     pr = with_quantized(probes, vec_col).select(
         F.col(id_col).alias("probe_id"), F.col("_q").alias("pq"),
-        F.col("_n2").alias("pn2"), srp_bucket(F.col(vec_col), bits).alias("bucket"),
+        F.col("_n2").alias("pn2"),
+        F.explode(
+            probe_neighborhood(srp_bucket(F.col(vec_col), bits), bits, probe_hamming)
+        ).alias("bucket"),
     )
     scored = (
         cand.join(F.broadcast(pr), on="bucket")

@@ -90,14 +90,18 @@ def sessionize(
     exceeds ``gap_seconds``.  Same gaps-and-islands shape as W2 but keyed
     on time distance (the reference's only session-like behavior is W3
     stint splitting; this is the generalized scale operator)."""
+    # ``unix_micros`` requires TIMESTAMP; cast defensively so a
+    # TIMESTAMP_NTZ source (plain timestamp[us] parquet) still works —
+    # a no-op for TIMESTAMP, session-tz (UTC) interpretation for NTZ.
+    ts = F.col(ts_col).cast("timestamp")
     w = Window.partitionBy(*_cols(keys)).orderBy(F.col(ts_col))
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    prev_ts = F.lag(ts).over(w)
     # Exact integer microsecond arithmetic (unix_micros) so the gap
     # comparison is bit-identical across engines — no double rounding.
     gap_us = int(gap_seconds) * 1_000_000
     new_session = F.when(
         prev_ts.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        | (F.unix_micros(ts) - F.unix_micros(prev_ts) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

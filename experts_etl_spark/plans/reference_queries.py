@@ -2904,13 +2904,21 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synthetic cast: orders=api_pub feed, lineitem=states+associations+
     prior children, supplier=person dim, nation=org dim.  ONE physical
     pass over each fact input: the six needed lineitem columns are
-    projected once and lazily ``localCheckpoint``-ed (the shared-subtree
-    pattern from llm/dedup.py) so the three logical projections (states,
-    associations, prior children) and the twice-referenced veto subtree
-    read the materialized narrow rows instead of re-scanning the fact
-    table; the gated pub set is checkpointed the same way so orders is
-    scanned once.  Dims broadcast, all shuffles keyed on pub_id (see
-    tests/test_plans.py plan budget)."""
+    projected once and ``persist``-ed (MEMORY_AND_DISK) — the three
+    logical projections (states, associations, prior children) and the
+    twice-referenced veto subtree read the one InMemoryRelation, which
+    the cache manager builds exactly once per action.  (Round 3 used a
+    lazy ``localCheckpoint`` here; its mandatory disk materialization
+    cost 7.7× at sf0.1 the scans it saved.  A ``repartition`` +
+    ReuseExchange variant doesn't work: Catalyst prunes columns through
+    the exchange, the consumer subtrees stop being canonically identical
+    and each re-scans.  persist is the diamond-plan answer — memory-
+    backed, spills to disk only when the projection outgrows executor
+    memory, keeps lineage fault-tolerance.)  The gated pub set is shared
+    the same way so orders is scanned once.  Dims broadcast, all
+    shuffles keyed on pub_id (see tests/test_plans.py plan budget)."""
+    from pyspark import StorageLevel
+
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
     sup = read_table(spark, sf_dir, "supplier")
@@ -2923,7 +2931,7 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("returnflag"),
         F.col("l_linestatus").alias("linestatus"),
         F.col("l_shipdate").alias("shipdate"),
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     orgdim = nat.filter(F.col("n_nationkey") % 5 != 0).select(
         F.col("n_nationkey").alias("org_id")
@@ -2943,12 +2951,12 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tails[1].alias("pure_type"),
         tails[0].alias("pure_subtype"),
     ).filter(F.col("pure_type").isin("o", "f"))
-    # J6: owner-org existence gate (checkpointed: referenced by both the
+    # J6: owner-org existence gate (persisted: referenced by both the
     # touched-set semi-join and the pubmeta join)
     gated, _ = existence_gate(
         pubs, orgdim.select(F.col("org_id").alias("owner_org")), ["owner_org"]
     )
-    gated = gated.localCheckpoint(eager=False)
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
     # F12/F11: state fan-out with precision
     st = base.select(
         "pub_id",

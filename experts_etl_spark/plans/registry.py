@@ -24,65 +24,71 @@ for mod in (reference_queries, llm_queries):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update(mod.ORACLES)
 
-# The 50 gated slots.  Comments name the §2 operators / LLM components
-# each slot is the primary proof for (secondary coverage in COVERAGE.md).
+# The 50 gated slots — ROTATED in round 4 (VERDICT r3 item 3).  Rounds
+# 2-3 gated an identical stable window whose 50 rows are all green in
+# CORRECTNESS_r02/r03; this round swaps in every never-gated registered
+# query (35) plus 15 retained heavyweights (the multi-operator
+# composites, and every path touched by round-4 changes: the NTZ
+# timestamp fix → user_sessions/session_window_agg/tumbling_window_counts,
+# SRP multi-probe → ann_recall / *_bucketed).  Union of r02-r04 green
+# rows therefore covers ALL registered queries.
 GATE_ORDER = [
-    # --- core scans / aggregation -------------------------------------
-    "pricing_summary",          # S1 P1-P4 A2 A6
-    "latest_event_per_user",    # J5 A4 W1
-    "primary_event_election",   # W8 A9
-    "reference_entry_selection",  # W5
-    "dedupe_keep_best",         # W9
-    "cdc_compaction",           # W7 C2-C4
+    # --- retained composites / changed paths (green in r02+r03) --------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5
-    "snapshot_delta",           # X1 X2 (merged)
-    "set_reconciliation",       # X3 A5
-    "multiset_except",          # A8 X4
-    "buffer_archival",          # M3 M9 S8
-    # --- joins / gates / mutations ------------------------------------
-    "dim_lookup_quarantine",    # J1
-    "override_coalesce",        # J2 J3
-    "enrichment_left_join",     # J4
     "existence_gates",          # J6 J9 C6 (merged)
-    "association_resolution_veto",  # J7
-    "merged_uuid_cleanup",      # J8 M7
-    "owner_reassignment",       # M8
-    "cascade_delete_children",  # M6
-    "overwrite_child_sets",     # M5
-    "error_counters",           # A7 F9
-    "type_whitelist",           # P7
-    "required_fields_gate",     # P5
-    # --- scalar functions / serialization -----------------------------
-    "multi_format_dates",       # F1 F2 F11 P6
-    "identity_assembly",        # F4 F5 F6
-    "scalar_pack",              # F7 F8 F10 (merged)
-    "locale_pick",              # P8
-    "state_fanout_pivot",       # F12
-    "json_parse_roundtrip",     # S6 F13 (merged)
-    "pure_user_sync_xml",       # F14 (user template)
     "person_cycle_xml",         # F14 S7 + §3.2+§3.4 composite
-    # --- hierarchy -----------------------------------------------------
     "tree_nested_set",          # G1 G2 G3 J10 (composes tree_closure)
-    # --- composites / skew ---------------------------------------------
     "employee_jobs_transform",  # §3.4: W2 W3 W4 W6
     "person_assembly_cycle",    # §3.2 assembly
     "person_360",               # §3.2 end-to-end + A10
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
     "skew_tolerant_counts",     # salting / two-stage agg
-    # --- LLM pack -------------------------------------------------------
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_winnow",
-    "embedding_near_dup",
     "ann_topk_ivf_refined",
-    "ann_ivf_kmeans",
-    "ann_recall",
-    "text_quality_metrics",
+    "ann_recall",               # gains srp_multiprobe row this round
     "corpus_curation",
     "multimodal_metadata",
+    # --- rotated in: windows / sessions (NTZ-fix paths first) ----------
+    "user_sessions",            # sessionize over events — r3's broken headline
+    "session_window_agg",       # batch session_window (streaming twin)
+    "tumbling_window_counts",   # batch twin of streaming windowed counts
+    "event_run_groups",         # W2 gaps-and-islands single
+    "stint_splitting",          # W3 single
+    "job_end_dates",            # W6 single
+    "visibility_rollup",        # A10 single
+    # --- rotated in: snapshot / cdc singles -----------------------------
+    "snapshot_new_keys",        # X1
+    "snapshot_changed_rows",    # X2
+    "cdc_watermark",            # C1
+    "cdc_new_versions",         # C2
+    "gate_passed",              # J6
+    "gate_deferred",            # C6
+    # --- rotated in: scans / joins / functions --------------------------
+    "customers_per_nation",     # A6 broadcast-dim agg
+    "salted_dim_join",          # skew-salted join variant
+    "json_document_parse",      # S6
+    "json_roundtrip",           # F13
+    "uri_tails",                # F7
+    "slug_normalize",           # F8
+    # --- rotated in: hierarchy / serialization --------------------------
+    "tree_depths",              # G1
+    "tree_orphan_prune",        # G3
+    "xml_render",               # F14 scalar
+    "person_sync_xml",          # F14 person template (bench headline)
+    "pure_person_sync_xml",     # F14 pure person template
+    "pure_organisation_sync_xml",  # F14 organisation template
+    "poi_jobs_transform",       # §3.4 poi variant
+    "affiliate_jobs_transform",  # §3.4 affiliate variant
+    # --- rotated in: LLM pack variants ----------------------------------
+    "lang_id_heuristic",
+    "token_count_by_lang",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",        # gains multi-probe this round
+    "ann_topk_ivf",
+    "embedding_near_dup_bucketed",  # gains multi-probe this round
+    "multimodal_frame_sample",
+    "multimodal_decode_embed",
 ]
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 _missing = [n for n in GATE_ORDER if n not in _ALL_QUERIES]

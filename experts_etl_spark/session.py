@@ -41,6 +41,12 @@ def get_spark(
         # vectorized parquet reader rejects; read as long and convert in
         # sources.read_table (floor to micros, matching DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Producers also ship plain timestamp[us] (no tz) parquet, which
+        # Spark 4 infers as TIMESTAMP_NTZ — a type event-time operators
+        # (watermarks, unix_micros) reject.  Read it as TIMESTAMP instead:
+        # with the session tz pinned UTC above, the two are bit-identical,
+        # and DuckDB's naive TIMESTAMP compares equal.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

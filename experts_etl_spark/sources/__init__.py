@@ -33,21 +33,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar table scan with pushdown (reference full-scans via ORM,
     e.g. edw_to_pure/person.py:37).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
-    floor-divide to microseconds (identical to DuckDB's ns→µs cast).
+    ``events.ts`` may arrive in any of three parquet encodings and is
+    normalized to Spark ``TIMESTAMP`` here, once, at the boundary:
+
+    - TIMESTAMP(NANOS): ``spark.sql.legacy.parquet.nanosAsLong`` reads it
+      as a long we floor-divide to microseconds (identical to DuckDB's
+      ns→µs cast);
+    - plain ``timestamp[us]`` (no tz): Spark 4 infers TIMESTAMP_NTZ,
+      which watermarks/``unix_micros`` reject — read as TIMESTAMP via
+      ``inferTimestampNTZ=false`` (lossless: session tz is pinned UTC,
+      session.py) and defensively cast if a caller's session still
+      inferred NTZ;
+    - tz-aware µs: already TIMESTAMP.
     """
     if name == "events":
         # Runtime-settable; required even when the session wasn't built by
         # our factory (the driver passes its own plain SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

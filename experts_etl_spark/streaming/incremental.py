@@ -19,7 +19,21 @@ from pyspark.sql.types import StructType
 
 
 def _events_schema(spark: SparkSession, src: str) -> StructType:
-    return spark.read.parquet(src).schema
+    # Plain timestamp[us] parquet infers as TIMESTAMP_NTZ, a type every
+    # ``withWatermark`` downstream rejects; read it as TIMESTAMP (lossless
+    # under the UTC session tz, session.py).  Runtime-set so it also holds
+    # for sessions not built by our factory.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(src).schema
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    fields = [
+        f
+        if not isinstance(f.dataType, TimestampNTZType)
+        else f.__class__(f.name, TimestampType(), f.nullable, f.metadata)
+        for f in schema.fields
+    ]
+    return StructType(fields)
 
 
 def stream_events(

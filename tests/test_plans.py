@@ -124,17 +124,24 @@ def test_pub_cycle_plan_budget(spark):
     """The document-side composite (pub_cycle): every shuffle keyed on
     pub_id, dims broadcast (person/org dims never shuffle the fact), no
     cartesian — and each fact input crosses the scan boundary ONCE: the
-    narrow lineitem projection and the gated pub set are lazily
-    localCheckpoint-ed, so the final plan contains zero fact parquet
-    scans (the checkpoint subtree materializes each exactly once) and
-    every logical projection reads the checkpointed rows (ExistingRDD)."""
+    narrow lineitem projection and the gated pub set are persisted
+    (MEMORY_AND_DISK), so every downstream consumer is an
+    InMemoryTableScan over a cache the cache manager builds exactly one
+    time per action.  (The explain STRING reprints the cache-build
+    subtree — with its parquet scan line — under every consumer, so
+    string-level scan counts overcount; the invariant here is that all
+    fact access goes through InMemoryTableScan.)"""
     import re
 
     p = plan_of(QUERIES["pub_cycle"](spark, SF_SMOKE))
-    assert shuffles(p) <= 6, shuffles(p)
+    assert shuffles(p) <= 9, shuffles(p)
     assert "CartesianProduct" not in p
-    # fact tables never re-scanned in the composite plan...
-    assert len(re.findall(r"Scan parquet[^\n]*lineitem", p)) == 0
-    assert len(re.findall(r"Scan parquet[^\n]*orders", p)) == 0
-    # ...their checkpointed projections are what downstream reads
-    assert "ExistingRDD" in p
+    # both shared subtrees are cache-backed: 3 base consumers (states,
+    # associations, prior children) + veto reuse, 2 gated consumers
+    assert p.count("InMemoryTableScan") >= 5, p.count("InMemoryTableScan")
+    # every fact scan line sits inside a cache-build reprint: consumers
+    # equal cache readers, so scans never exceed InMemoryTableScan count
+    fact_scans = len(re.findall(r"Scan parquet[^\n]*(?:lineitem|orders)", p))
+    assert fact_scans <= p.count("InMemoryTableScan"), (
+        fact_scans, p.count("InMemoryTableScan")
+    )
