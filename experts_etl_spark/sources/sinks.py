@@ -19,9 +19,31 @@ semantics come from layout:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import ctypes
+import ctypes.util
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_RENAME_EXCHANGE = 2  # linux/fs.h RENAME_EXCHANGE
+_AT_FDCWD = -100
+
+
+def _atomic_exchange(a: str, b: str) -> bool:
+    """Atomically swap two paths via renameat2(RENAME_EXCHANGE) —
+    Linux-only; returns False when unsupported (caller falls back to a
+    two-step rename with a strictly larger crash window)."""
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c"), use_errno=True)
+        r = libc.renameat2(
+            _AT_FDCWD, a.encode(), _AT_FDCWD, b.encode(), _RENAME_EXCHANGE
+        )
+        return r == 0
+    except (AttributeError, OSError):
+        return False
 
 
 def write_partitioned(
@@ -34,20 +56,85 @@ def write_partitioned(
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
 
 
+def _staged_partition_dirs(stage: str, depth: int) -> list[str]:
+    """Relative ``col=value[/col=value...]`` paths present in a staged
+    write, depth = number of partition columns."""
+    out: list[str] = []
+
+    def walk(cur: str, rel: str, d: int) -> None:
+        for entry in sorted(os.listdir(cur)):
+            if "=" not in entry or entry.startswith((".", "_")):
+                continue
+            nxt = os.path.join(cur, entry)
+            r = os.path.join(rel, entry) if rel else entry
+            if d == 1:
+                out.append(r)
+            else:
+                walk(nxt, r, d - 1)
+
+    walk(stage, "", depth)
+    return out
+
+
 def overwrite_partitions(
-    df: DataFrame, path: str, partition_cols: Sequence[str]
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    audit: Callable[[DataFrame], None] | None = None,
 ) -> None:
     """M5: dynamic partition overwrite — replace ONLY the partitions
     present in ``df``, leave every other partition untouched
     (delete-and-recreate children of touched parents,
-    transformer_loaders/pure_api_internal_person.py:282-302)."""
+    transformer_loaders/pure_api_internal_person.py:282-302).
+
+    Write-audit-publish (the reference's per-batch transactional commit,
+    oit_to_edw/person.py:57-59,67-78, re-expressed for a lake):
+
+    1. **Write** to a dot-prefixed staging dir INSIDE the target (same
+       filesystem → rename is atomic; Spark's HiddenFileFilter makes it
+       invisible to concurrent readers of ``path``).
+    2. **Audit**: the staged parquet is read back (readability/schema
+       gate); a caller-supplied ``audit`` callable can veto (raise) with
+       the target completely untouched.
+    3. **Publish**: each staged partition directory swaps into place via
+       renameat2(RENAME_EXCHANGE) — atomic even against a kill between
+       any two syscalls; a reader never observes a missing or
+       half-written partition, only whole old or whole new.  (Non-Linux
+       fallback: rename-away + rename-in, which narrows the window to
+       one partition rather than eliminating it.)  A crash mid-publish
+       leaves a prefix of partitions new and a suffix old — each
+       individually complete and the table readable throughout; re-
+       running the same batch (idempotent upstream, C2-C4) converges.
+       On a real lake, Delta/Iceberg's commit protocol replaces step 3
+       with an all-or-nothing metadata swap (SURVEY.md §4.2).
+    """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stage = os.path.join(path, f"._stage_{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
     try:
-        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(stage)
+        rels = _staged_partition_dirs(stage, len(partition_cols))
+        if not rels:
+            return  # empty batch: dynamic overwrite of nothing is a no-op
+        staged = spark.read.parquet(stage)  # audit gate: must be readable
+        if audit is not None:
+            audit(staged)
+        trash = os.path.join(path, f"._trash_{uuid.uuid4().hex[:12]}")
+        for rel in rels:
+            sdir = os.path.join(stage, rel)
+            tdir = os.path.join(path, rel)
+            if os.path.exists(tdir):
+                if _atomic_exchange(sdir, tdir):
+                    continue  # old data now in sdir; swept with stage
+                os.makedirs(os.path.join(trash, os.path.dirname(rel)), exist_ok=True)
+                os.rename(tdir, os.path.join(trash, rel))
+                os.rename(sdir, tdir)
+            else:
+                os.makedirs(os.path.dirname(tdir), exist_ok=True)
+                os.rename(sdir, tdir)
+        shutil.rmtree(trash, ignore_errors=True)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def write_bucketed(

@@ -35,8 +35,11 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     for k in before:
         if k != "click":
             assert after[k] == before[k]
-    # static overwrite mode must be restored
-    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    # WAP never needs (or flips) the session overwrite mode
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
@@ -125,3 +128,86 @@ def test_bucketed_entries_make_jobs_pipeline_zero_exchange(spark):
         assert jobs.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_entries")
+
+
+def test_overwrite_partitions_audit_veto_leaves_target_untouched(spark, tmp_path):
+    """WAP step 2: a failing audit aborts BEFORE publish — the target
+    keeps its exact prior contents and no staging residue survives."""
+    import os
+
+    path = str(tmp_path / "audited")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["event_id", "event_type"]
+    )
+    write_partitioned(base, path, ["event_type"])
+    before = sorted(
+        (r.event_id, r.event_type) for r in spark.read.parquet(path).collect()
+    )
+
+    def audit(staged):
+        raise ValueError("row-count audit failed")
+
+    bad = spark.createDataFrame([(99, "a")], ["event_id", "event_type"])
+    try:
+        overwrite_partitions(bad, path, ["event_type"], audit=audit)
+        raise AssertionError("audit veto should propagate")
+    except ValueError:
+        pass
+    after = sorted(
+        (r.event_id, r.event_type) for r in spark.read.parquet(path).collect()
+    )
+    assert after == before
+    assert not [e for e in os.listdir(path) if e.startswith("._stage_")]
+
+
+def test_overwrite_partitions_kill_mid_publish_leaves_target_readable(
+    spark, tmp_path, monkeypatch
+):
+    """WAP step 3: a crash between per-partition publishes leaves every
+    partition whole (old or new, never half) and the table readable."""
+    import os
+
+    from experts_etl_spark.sources import sinks
+
+    path = str(tmp_path / "killed")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["event_id", "event_type"]
+    )
+    write_partitioned(base, path, ["event_type"])
+
+    # Force the two-step fallback and kill the process after the first
+    # partition has published (worst case for the fallback path).
+    monkeypatch.setattr(sinks, "_atomic_exchange", lambda a, b: False)
+    real_rename = os.rename
+    published = {"n": 0}
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if "=_" not in dst and "._trash_" not in dst and os.sep + "._stage_" not in dst:
+            published["n"] += 1
+            if published["n"] >= 2:  # trash-away + publish of partition 1 done
+                raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(sinks.os, "rename", dying_rename)
+    new = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], ["event_id", "event_type"]
+    )
+    try:
+        overwrite_partitions(new, path, ["event_type"])
+        raise AssertionError("simulated kill should propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(sinks.os, "rename", real_rename)
+
+    got = {
+        r.event_type: r.event_id for r in spark.read.parquet(path).collect()
+    }
+    # every partition present and whole: each is either fully old or fully new
+    assert set(got) == {"a", "b", "c"}
+    for etype, eid in got.items():
+        assert eid in (
+            {"a": 1, "b": 2, "c": 3}[etype],
+            {"a": 10, "b": 20, "c": 30}[etype],
+        )
+    # at least one partition was published before the kill
+    assert any(eid >= 10 for eid in got.values())
