@@ -580,7 +580,19 @@ def _org_dict(i, full):
                 "country": "US",
                 "subdivision": None,
                 "geospatial_point": None,
-            }
+            },
+            # complement of the first: every optional address field is
+            # exercised both present and absent across the pair
+            {
+                "type": "visiting",
+                "city": None,
+                "postalcode": "55455",
+                "street": None,
+                "building": None,
+                "country": None,
+                "subdivision": "MN",
+                "geospatial_point": "44.97;-93.23",
+            },
         ]
         if full
         else [],
@@ -947,3 +959,89 @@ def test_employee_jobs_profiled_override_chain(spark):
     assert got == {"D1": False, "D2": True, "D3": True}
     q = quarantine.collect()
     assert len(q) == 1 and q[0].deptid == "D3" and q[0].jobcode == "JX"
+
+
+# ---------------------------------------------------------------------------
+# Template branch coverage (VERDICT r3 item 8): every conditional and
+# loop in the reference's OWN Jinja templates must be exercised BOTH
+# ways by the byte-parity matrices above — "zero unreachable template
+# branches".  Conditions are read from the template source, so a
+# template change that adds a branch fails this test until the matrix
+# covers it.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+TEMPLATES = "/root/reference/experts_etl/templates"
+
+
+def _conditions(src: str) -> list[str]:
+    return [
+        c
+        for c in _re.findall(r"\{%-?\s*if\s+(.+?)\s*%\}", src)
+        if not c.startswith("else")
+    ]
+
+
+def _loops(src: str) -> list[str]:
+    return _re.findall(r"\{%-?\s*for\s+\w+\s+in\s+(\w+)\s*%\}", src)
+
+
+def _assert_both_ways(src: str, contexts_for):
+    import jinja2
+
+    env = jinja2.Environment()
+    uncovered = []
+    for cond in _conditions(src):
+        expr = env.compile_expression(cond, undefined_to_none=True)
+        seen = {bool(expr(**ctx)) for ctx in contexts_for(cond)}
+        if seen != {True, False}:
+            uncovered.append((cond, seen))
+    for lst in _loops(src):
+        sizes = {
+            len(ctx[lst]) > 0
+            for ctx in contexts_for(lst)
+            if lst in ctx
+        }
+        if sizes != {True, False}:
+            uncovered.append((f"for-in {lst}", sizes))
+    assert not uncovered, uncovered
+
+
+def test_person_template_branches_fully_covered():
+    src = open(f"{TEMPLATES}/person.xml.j2").read()
+    persons = [_person_dict(i, *spec) for i, spec in enumerate(PERSON_MATRIX)]
+
+    def contexts_for(cond):
+        if "job." in cond or cond == "jobs":
+            if cond == "jobs":
+                return persons
+            return [{"job": j} for p in persons for j in p["jobs"]]
+        return persons
+
+    _assert_both_ways(src, contexts_for)
+
+
+def test_user_template_has_no_branches():
+    """Pins the claim that user.xml.j2 is branch-free (any future branch
+    must be added to a coverage matrix)."""
+    src = open(f"{TEMPLATES}/user.xml.j2").read()
+    assert _conditions(src) == [] and _loops(src) == []
+
+
+def test_organisation_template_branches_fully_covered():
+    src = open(f"{TEMPLATES}/organisation.xml.j2").read()
+    orgs = [_org_dict(0, True), _org_dict(1, False)]
+
+    def contexts_for(cond):
+        if "address." in cond:
+            return [{"address": a} for o in orgs for a in o["addresses"]]
+        m = _re.match(r"(\w+)\|length", cond)
+        if m or cond in {
+            "name_variants", "profile_infos", "photos", "phone_numbers",
+            "emails", "web_addresses", "addresses", "ids",
+        }:
+            return orgs
+        return orgs
+
+    _assert_both_ways(src, contexts_for)

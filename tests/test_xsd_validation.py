@@ -218,3 +218,40 @@ def test_committed_choice_branch_errors_are_kept(choice_schema):
     doc = '<pick xmlns="urn:t"><a>bad</a><b>y</b></pick>'
     errs = choice_schema.validate(ET.fromstring(doc))
     assert errs != []
+
+
+# -- the reference's OWN example documents (VERDICT r3 item 8) ----------
+#
+# docs/*-simple-examples.xml and *-advanced-examples.xml are the richest
+# valid documents the reference publishes — they exercise XSD constructs
+# (choice data sources, nested optional blocks, classified lists,
+# addresses, leaves of absence) far beyond what our renderers emit.  The
+# subset validator must accept ALL of them: any rejection is a validator
+# gap that would false-alarm on real Pure feeds.
+
+EXAMPLE_FILES = [
+    "person-simple-examples.xml",
+    "person-advanced-examples.xml",
+    "user-simple-examples.xml",
+    "user-advanced-examples.xml",
+]
+
+
+@pytest.mark.parametrize("fname", EXAMPLE_FILES)
+def test_reference_example_documents_validate(schema, fname):
+    with open(f"{DOCS}/{fname}", encoding="utf-8") as fh:
+        root = ET.parse(fh).getroot()
+    errs = schema.validate(root)
+    assert errs == [], (fname, errs[:5])
+
+
+@pytest.mark.parametrize(
+    "fname",
+    ["organisation-simple-examples.xml", "organisation-advanced-examples.xml"],
+)
+def test_organisation_examples_wellformed(fname):
+    # The reference ships no organisation.xsd, so schema validation is
+    # impossible; pin well-formedness and the expected root element.
+    with open(f"{DOCS}/{fname}", encoding="utf-8") as fh:
+        root = ET.parse(fh).getroot()
+    assert root.tag.endswith("organisations")
