@@ -768,10 +768,12 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at sf0.01 (16 trained centroids over the synthetic
     uniform-ish embeddings — a hard case for coarse quantization):
     srp_bucketed 0.02 (8-bit hard bucketing, single probe),
-    srp_multiprobe (Hamming-1 shell, 9 probes) well above it,
-    ivf_nprobe2 0.33, ivf_nprobe4 0.63 — recall scales with probe count
-    at proportional cost, which is exactly the knob a 100 TB deployment
-    tunes."""
+    srp_multiprobe 0.15 (Hamming-1 shell, 9 probes — 7× at 9× probe-side
+    fan-out), ivf_nprobe2 0.33, ivf_nprobe4 0.63 — recall scales with
+    probe count at proportional cost, which is exactly the knob a
+    100 TB deployment tunes.  On clustered vectors (the realistic case;
+    tools/gen_scaledata.py --mode clustered) the same operators measure
+    0.92-1.00 — see SCALE.md."""
     from experts_etl_spark.llm.similarity import (
         bucketed_ann_topk,
         ivf_topk,

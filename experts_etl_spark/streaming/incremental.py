@@ -42,11 +42,22 @@ def stream_events(
     """S3 as a stream: file-source over parquet change files.  New files
     landing under ``src`` are discovered exactly-once via the query
     checkpoint — the reference's persisted ``max(downloaded)`` bookmark
-    (extractor_loaders/pure_api_changes.py:28-41) for free."""
+    (extractor_loaders/pure_api_changes.py:28-41) for free.
+
+    The event-time column is normalized to TIMESTAMP for every parquet
+    encoding a producer may ship (the same matrix as
+    ``sources.read_table``): NTZ via the schema rewrite above, and
+    TIMESTAMP(NANOS) — which ``nanosAsLong`` surfaces as a bigint — via
+    a floor-division cast here, so watermarks always see TIMESTAMP."""
     reader = spark.readStream.schema(_events_schema(spark, src))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(src)
+    ev = reader.parquet(src)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+        )
+    return ev
 
 
 def run_incremental_consume(

@@ -133,15 +133,33 @@ def test_pub_cycle_plan_budget(spark):
     fact access goes through InMemoryTableScan.)"""
     import re
 
-    p = plan_of(QUERIES["pub_cycle"](spark, SF_SMOKE))
+    df = QUERIES["pub_cycle"](spark, SF_SMOKE)
+    p = plan_of(df)
     assert shuffles(p) <= 9, shuffles(p)
     assert "CartesianProduct" not in p
     # both shared subtrees are cache-backed: 3 base consumers (states,
-    # associations, prior children) + veto reuse, 2 gated consumers
+    # associations, prior children) + veto reuse, 2 gated consumers.
+    # (String-level parquet-scan counts are NOT asserted: the explain
+    # string reprints each cache's build subtree under every consumer,
+    # and the reprint count changes with cache materialization state.)
     assert p.count("InMemoryTableScan") >= 5, p.count("InMemoryTableScan")
-    # every fact scan line sits inside a cache-build reprint: consumers
-    # equal cache readers, so scans never exceed InMemoryTableScan count
-    fact_scans = len(re.findall(r"Scan parquet[^\n]*(?:lineitem|orders)", p))
-    assert fact_scans <= p.count("InMemoryTableScan"), (
-        fact_scans, p.count("InMemoryTableScan")
-    )
+    # the PHYSICAL single-pass proof: executing the query materializes
+    # exactly two cached RDDs — one per shared subtree (narrow lineitem
+    # projection + gated pub set), each built once by the cache manager.
+    # Build a FRESH df after clearCache: dfs constructed earlier hold
+    # plan references to since-evicted cache entries and would
+    # materialize extra orphan RDDs.
+    spark.catalog.clearCache()
+    try:
+        QUERIES["pub_cycle"](spark, SF_SMOKE).count()
+        # SQL-cache RDDs carry their plan string as the name; bare
+        # "MapPartitionsRDD" entries are localCheckpoint residue from
+        # other tests sharing the session — not pub_cycle's caches.
+        cached = [
+            str(i)
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if not str(i).startswith('RDD "MapPartitionsRDD"')
+        ]
+        assert len(cached) == 2, cached
+    finally:
+        spark.catalog.clearCache()

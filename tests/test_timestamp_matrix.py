@@ -96,7 +96,7 @@ def test_sessionize_accepts_raw_ntz(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
-@pytest.mark.parametrize("encoding", ["micros_ntz", "micros_utc"])
+@pytest.mark.parametrize("encoding", sorted(ENCODINGS))
 def test_streaming_watermark_all_encodings(spark, tmp_path, encoding):
     """The streaming reader's schema must surface TIMESTAMP (never NTZ),
     or every ``withWatermark`` downstream throws
