@@ -47,6 +47,10 @@ HEADLINE = [
     "ann_topk_ivf_refined",
     "text_quality_metrics",
     "corpus_curation",
+    # training-data pipeline extras (round 4)
+    "train_val_split",
+    "benchmark_contamination",
+    "tfidf_topk_terms",
 ]
 
 

@@ -946,3 +946,184 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 16)
     return ivf_topk(e, probes, "vec_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extras (round 4): deterministic splitting,
+# benchmark contamination, tf-idf salient terms.  Not in the reference
+# (it has no corpus side at all) — these are the operations a 100 TB
+# pretraining pipeline runs daily, each with a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+@query(
+    "train_val_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split on a content-independent key hash —
+    never ``rand()``: replays, retries, and cross-engine reruns must
+    land every document in the same split.  The md5-prefix hash is the
+    engine-portable 60-bit hash used across the dedup pack; at 100 TB
+    the split is a pure map (no shuffle, no state) and any table can be
+    split-filtered at scan time."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH sh0 AS ({_SHINGLES}),
+    sdf AS (SELECT shingle, count(*) AS n FROM sh0 GROUP BY 1),
+    sh AS (SELECT sh0.* FROM sh0 JOIN sdf USING (shingle) WHERE sdf.n <= 100),
+    bench AS (SELECT doc_id AS bench_doc_id, shingle FROM sh WHERE doc_id % 11 = 0),
+    bsize AS (SELECT bench_doc_id, count(*) AS bn FROM bench GROUP BY 1),
+    train AS (SELECT doc_id AS train_doc_id, shingle FROM sh WHERE doc_id % 11 <> 0),
+    inter AS (
+      SELECT train_doc_id, bench_doc_id, count(*) AS n_shared
+      FROM train JOIN bench USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT train_doc_id, bench_doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(bn AS DOUBLE) AS overlap_ratio
+    FROM inter JOIN bsize USING (bench_doc_id)
+    WHERE CAST(n_shared AS DOUBLE) / CAST(bn AS DOUBLE) >= 0.3
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training documents sharing ≥30% of
+    a held-out document's distinct 3-gram shingles (the held-out set is
+    the deterministic ``doc_id % 11`` slice here; in production, the
+    eval benchmarks).  Blocked on the shingle — the join shuffles on
+    shingle keys and never forms train×bench document pairs that share
+    nothing, so cost tracks shared-shingle volume, not |train|×|bench|.
+    Stop-shingles (df > 100) are dropped with the dedup pack's
+    ``max_df`` cap BEFORE the join: a shingle present in a hundred
+    training docs carries no contamination signal, and without the cap
+    the hot-key pair blowup is quadratic in its df (measured 8.6s →
+    1.1s at sf0.1).  The benchmark side of a real deployment is tiny →
+    broadcast; kept as a shuffle join here so the oracle pins the
+    general shape."""
+    from pyspark import StorageLevel
+
+    from experts_etl_spark.llm.dedup import shingles, with_max_df
+
+    d = read_table(spark, sf_dir, "documents")
+    # persist: the capped shingle set feeds three consumers (bench side,
+    # train side, benchmark sizes) — without it the explode + df-cap
+    # aggregation recomputes per consumer (the pub_cycle diamond).
+    sh = with_max_df(
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+        ),
+        "shingle",
+        100,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = sh.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    bsize = bench.groupBy("bench_doc_id").agg(F.count(F.lit(1)).alias("bn"))
+    train = sh.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    inter = (
+        train.join(bench, "shingle")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ratio = F.col("n_shared").cast("double") / F.col("bn").cast("double")
+    return (
+        inter.join(F.broadcast(bsize), "bench_doc_id")
+        .select(
+            "train_doc_id",
+            "bench_doc_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            ratio.alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= 0.3)
+    )
+
+
+@query(
+    "tfidf_topk_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_W}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs - df.df AS DOUBLE) + 0.5)
+               / (CAST(df.df AS DOUBLE) + 0.5) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by a rational tf-idf (BM25-style
+    idf ``(N-df+0.5)/(df+0.5)`` — no logarithm, so the score is one
+    multiply + one divide and bit-identical across engines).  Classic
+    two-aggregate shape: term frequencies shuffle on (doc, term), doc
+    frequencies on term, corpus size is a broadcast scalar; the final
+    top-k reuses the doc_id partitioning.  The salience ranking feeds
+    corpus exploration / quality filtering at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    from experts_etl_spark.llm.text import words
+
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )

@@ -90,6 +90,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_ivf_kmeans",        # centroid set broadcast per Lloyd iteration
         "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
         "ann_recall",            # brute-force baseline + 1-row agg cross joins
+        "tfidf_topk_terms",      # corpus-size scalar broadcast for idf
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))
