@@ -51,6 +51,8 @@ HEADLINE = [
     "train_val_split",
     "benchmark_contamination",
     "tfidf_topk_terms",
+    "sequence_packing",
+    "stratified_sample",
 ]
 
 

@@ -1127,3 +1127,91 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({_W}) AS n_tokens FROM documents
+    ),
+    run AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS INT) AS bin_id
+    FROM run
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign documents (ordered by id
+    within each language stream) to fixed token-budget training bins —
+    ``bin_id = floor(tokens_before_this_doc / budget)``.  One window
+    cumsum per stream: a single shuffle on the stream key, O(n) work,
+    deterministic bin assignment under replay.  (The bin a document
+    STARTS in; boundary documents may overflow their bin by < one doc —
+    the standard greedy-contiguous packing used when sample order must
+    be preserved.  Bin-capacity-exact packing needs first-fit, which is
+    inherently sequential — at scale you pack per partition-stream
+    exactly like this.)"""
+    from experts_etl_spark.llm.text import ws_token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", "lang", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(2048.0))
+        .cast("int")
+        .alias("bin_id"),
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= 20
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 20 smallest-key-hash
+    documents per language.  Hash-ordered selection gives a uniform
+    pseudo-random sample that is REPRODUCIBLE across engines, retries,
+    and data relayouts — ``TABLESAMPLE``/``rand()`` are none of those.
+    One shuffle on the stratum key; per-stratum top-k is the same
+    rank-filter shape as every W-series operator."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(F.col("hk"), "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source")
+    )
