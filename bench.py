@@ -102,11 +102,13 @@ def main() -> None:
     except Exception:
         pass  # the per-query isolation below records the real failure
 
-    # Each query runs three times: the first run pays whole-stage-codegen
+    # Each query runs four times: the first run pays whole-stage-codegen
     # compilation + broadcast build (one-time costs that amortize over a
     # real workload, reported separately as cold_total_sec); the reported
-    # per-query time is the MIN of two warm runs — the noise-robust
-    # estimator, since host-level scheduling jitter only ever adds time.
+    # per-query time is the MIN of three warm runs — the noise-robust
+    # estimator, since host-level scheduling jitter only ever adds time
+    # (measured cross-run spread with min-of-two was 20-50% on the
+    # heavier queries; min-of-three roughly halves it).
     cold = 0.0
     t0 = time.time()
     errors: dict[str, str] = {}
@@ -121,7 +123,7 @@ def main() -> None:
             fn().count()
             cold += time.time() - start
             warm = []
-            for _ in range(2):
+            for _ in range(3):
                 start = time.time()
                 fn().count()
                 warm.append(time.time() - start)
