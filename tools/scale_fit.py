@@ -31,6 +31,11 @@ PACK = [
     "lang_id_heuristic",
     "token_count_by_lang",
     "corpus_curation",
+    "train_val_split",
+    "benchmark_contamination",
+    "tfidf_topk_terms",
+    "sequence_packing",
+    "stratified_sample",
 ]
 
 
