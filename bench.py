@@ -136,7 +136,12 @@ def main() -> None:
         # reclaims them after the Python refs die and the JVM GCs, so
         # without this each query is timed under the accumulated storage
         # pressure of every query before it — measured ~40% inflation on
-        # the back half of the suite.
+        # the back half of the suite.  persist()-based queries
+        # (pub_cycle, benchmark_contamination) additionally hold
+        # JVM-side cache-manager entries independent of Python refs —
+        # clearCache drops those (within-query warm runs already
+        # happened, so this only affects cross-query state).
+        spark.catalog.clearCache()
         import gc
 
         gc.collect()

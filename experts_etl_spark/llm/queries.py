@@ -1030,18 +1030,16 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     general shape."""
     from pyspark import StorageLevel
 
-    from experts_etl_spark.llm.dedup import shingles, with_max_df
+    from experts_etl_spark.llm.dedup import doc_shingles, with_max_df
 
     d = read_table(spark, sf_dir, "documents")
     # persist: the capped shingle set feeds three consumers (bench side,
     # train side, benchmark sizes) — without it the explode + df-cap
     # aggregation recomputes per consumer (the pub_cycle diamond).
+    # doc_shingles = the set-based (posexplode + lead) formulation; the
+    # array/HOF one re-runs the word split per shingle position.
     sh = with_max_df(
-        d.select(
-            "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
-        ),
-        "shingle",
-        100,
+        doc_shingles(d, "text", "doc_id"), "shingle", 100
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bench = sh.filter(F.col("doc_id") % 11 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"

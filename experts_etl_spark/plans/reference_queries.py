@@ -2916,7 +2916,16 @@ def pub_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     backed, spills to disk only when the projection outgrows executor
     memory, keeps lineage fault-tolerance.)  The gated pub set is shared
     the same way so orders is scanned once.  Dims broadcast, all
-    shuffles keyed on pub_id (see tests/test_plans.py plan budget)."""
+    shuffles keyed on pub_id (see tests/test_plans.py plan budget).
+
+    Cache lifecycle caveat: the persisted entries are keyed on the
+    canonical plan and live until ``spark.catalog.clearCache()`` (or
+    unpersist) — a same-session rewrite of the source parquet followed
+    by re-running this query would serve the cached (stale) projection.
+    One-shot cycle runs (the driver, the runner, bench.py — which
+    clears between queries) are unaffected; a long-lived session
+    re-running cycles after source mutations must clear the cache
+    between cycles, exactly as it would re-read any cached table."""
     from pyspark import StorageLevel
 
     o = read_table(spark, sf_dir, "orders")

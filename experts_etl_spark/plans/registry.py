@@ -26,12 +26,14 @@ for mod in (reference_queries, llm_queries):
 
 # The 50 gated slots — ROTATED in round 4 (VERDICT r3 item 3).  Rounds
 # 2-3 gated an identical stable window whose 50 rows are all green in
-# CORRECTNESS_r02/r03; this round swaps in every never-gated registered
-# query (35) plus 15 retained heavyweights (the multi-operator
-# composites, and every path touched by round-4 changes: the NTZ
-# timestamp fix → user_sessions/session_window_agg/tumbling_window_counts,
-# SRP multi-probe → ann_recall / *_bucketed).  Union of r02-r04 green
-# rows therefore covers ALL registered queries.
+# CORRECTNESS_r02/r03; this round swaps in the 35 queries never gated
+# before plus 15 retained heavyweights (the multi-operator composites,
+# and every path touched by round-4 changes: the NTZ timestamp fix →
+# user_sessions/session_window_agg/tumbling_window_counts, SRP
+# multi-probe → ann_recall / *_bucketed).  Union of r02-r04 green rows
+# therefore covers all 85 queries registered at rotation time; the 5
+# training-pipeline queries added later in r4 sit after the window
+# (local sf0.01+sf0.1 parity only) and rotate in next round.
 GATE_ORDER = [
     # --- retained composites / changed paths (green in r02+r03) --------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3

@@ -22,6 +22,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Callable, Sequence
@@ -100,17 +101,44 @@ def overwrite_partitions(
        renameat2(RENAME_EXCHANGE) — atomic even against a kill between
        any two syscalls; a reader never observes a missing or
        half-written partition, only whole old or whole new.  (Non-Linux
-       fallback: rename-away + rename-in, which narrows the window to
-       one partition rather than eliminating it.)  A crash mid-publish
-       leaves a prefix of partitions new and a suffix old — each
-       individually complete and the table readable throughout; re-
-       running the same batch (idempotent upstream, C2-C4) converges.
-       On a real lake, Delta/Iceberg's commit protocol replaces step 3
-       with an all-or-nothing metadata swap (SURVEY.md §4.2).
+       fallback: rename-away + rename-in with rename-back rollback on
+       failure, which narrows the at-risk window to one partition
+       rather than eliminating it.)  A crash mid-publish leaves a
+       prefix of partitions new and a suffix old — each individually
+       complete and the table readable throughout; re-running the same
+       batch (idempotent upstream, C2-C4) converges, and the next call
+       sweeps any hidden ``._stage_``/``._trash_`` orphans a kill left
+       behind.  On a real lake, Delta/Iceberg's commit protocol
+       replaces step 3 with an all-or-nothing metadata swap
+       (SURVEY.md §4.2).
+
+    The rename-based publish requires a POSIX path; for remote
+    filesystems (``hdfs://``, ``s3a://``, …) the function falls back to
+    Spark's native dynamic partition overwrite (the pre-WAP behavior —
+    object stores get atomicity from a lakehouse table format, not
+    renames).
     """
+    if not partition_cols:
+        raise ValueError(
+            "overwrite_partitions requires partition_cols; use "
+            "write_partitioned(..., mode='overwrite') for a full rebuild"
+        )
     spark = df.sparkSession
-    stage = os.path.join(path, f"._stage_{uuid.uuid4().hex[:12]}")
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
     os.makedirs(path, exist_ok=True)
+    # sweep orphans from previously killed runs (single-writer contract,
+    # same as the reference's one-daemon cycle)
+    for entry in os.listdir(path):
+        if entry.startswith(("._stage_", "._trash_")):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    stage = os.path.join(path, f"._stage_{uuid.uuid4().hex[:12]}")
     try:
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(stage)
         rels = _staged_partition_dirs(stage, len(partition_cols))
@@ -127,8 +155,16 @@ def overwrite_partitions(
                 if _atomic_exchange(sdir, tdir):
                     continue  # old data now in sdir; swept with stage
                 os.makedirs(os.path.join(trash, os.path.dirname(rel)), exist_ok=True)
-                os.rename(tdir, os.path.join(trash, rel))
-                os.rename(sdir, tdir)
+                tr = os.path.join(trash, rel)
+                os.rename(tdir, tr)
+                try:
+                    os.rename(sdir, tdir)
+                except BaseException:
+                    # roll the old partition back so the target never
+                    # loses a partition to a failed publish
+                    if not os.path.exists(tdir):
+                        os.rename(tr, tdir)
+                    raise
             else:
                 os.makedirs(os.path.dirname(tdir), exist_ok=True)
                 os.rename(sdir, tdir)

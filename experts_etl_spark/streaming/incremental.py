@@ -21,8 +21,11 @@ from pyspark.sql.types import StructType
 def _events_schema(spark: SparkSession, src: str) -> StructType:
     # Plain timestamp[us] parquet infers as TIMESTAMP_NTZ, a type every
     # ``withWatermark`` downstream rejects; read it as TIMESTAMP (lossless
-    # under the UTC session tz, session.py).  Runtime-set so it also holds
-    # for sessions not built by our factory.
+    # under the UTC session tz, session.py).  TIMESTAMP(NANOS) parquet
+    # needs nanosAsLong or schema inference itself throws.  Runtime-set
+    # so both hold for sessions not built by our factory (the same pair
+    # sources.read_table sets).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(src).schema
     from pyspark.sql.types import TimestampNTZType, TimestampType

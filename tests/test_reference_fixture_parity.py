@@ -1036,12 +1036,6 @@ def test_organisation_template_branches_fully_covered():
     def contexts_for(cond):
         if "address." in cond:
             return [{"address": a} for o in orgs for a in o["addresses"]]
-        m = _re.match(r"(\w+)\|length", cond)
-        if m or cond in {
-            "name_variants", "profile_infos", "photos", "phone_numbers",
-            "emails", "web_addresses", "addresses", "ids",
-        }:
-            return orgs
-        return orgs
+        return orgs  # top-level conditions (|length, end_date, parent)
 
     _assert_both_ways(src, contexts_for)

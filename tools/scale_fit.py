@@ -3,9 +3,11 @@
 
 Generates 1× and 3× LLM-pack inputs from ONE deterministic generator
 (tools/gen_scaledata.py) and times each pack query at both sizes —
-min-of-two-warm-runs, same estimator as bench.py.  The printed ratio is
-the empirical cost exponent evidence: a blocked/linear operator should
-land near 3× (data grew 3×); an accidentally quadratic one shows ~9×.
+min-of-three-warm-runs, same estimator as bench.py.  The printed ratio
+is the empirical cost exponent evidence: a blocked/linear operator
+should land near 3× (data grew 3×); an accidentally quadratic one
+shows ~9×.  Queries fail independently (bench.py's isolation rule): a
+broken query records an error and the rest of the fit survives.
 
 Usage: python tools/scale_fit.py [--out SCALE_FIT.json]
 """
@@ -14,8 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PACK = [
     "dedup_exact",
@@ -62,17 +68,28 @@ def main() -> None:
     for name in PACK:
         fn = QUERIES[name]
         row = {}
-        for mult, d in dirs.items():
-            fn(spark, d).count()  # warm codegen/broadcast
-            times = []
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, d).count()
-                times.append(time.time() - t0)
-            row[f"t{mult}x"] = round(min(times), 3)
-        row["ratio"] = round(row["t3x"] / row["t1x"], 2) if row["t1x"] > 0 else None
+        try:
+            for mult, d in dirs.items():
+                fn(spark, d).count()  # warm codegen/broadcast
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn(spark, d).count()
+                    times.append(time.time() - t0)
+                row[f"t{mult}x"] = round(min(times), 3)
+            row["ratio"] = (
+                round(row["t3x"] / row["t1x"], 2) if row["t1x"] > 0 else None
+            )
+            print(
+                f"{name:32s} 1x={row['t1x']:7.3f}s 3x={row['t3x']:7.3f}s"
+                f" ratio={row['ratio']}"
+            )
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name:32s} ERR {row['err']}")
+        finally:
+            spark.catalog.clearCache()
         results[name] = row
-        print(f"{name:32s} 1x={row['t1x']:7.3f}s 3x={row['t3x']:7.3f}s ratio={row['ratio']}")
 
     out = {
         "docs_1x": args.docs1,
