@@ -1,0 +1,235 @@
+"""Corpus-curation operators a 100 TB pretraining pipeline runs daily:
+duplicate-cluster resolution (connected components), PII redaction,
+intra-document repetition metrics (Gopher-style), and deterministic
+domain-mixture resampling.
+
+Not in the reference (UMNLibraries/experts-etl has no corpus side);
+these extend the LLM pack the same way the dedup/ANN modules do.  Every
+operator is expressed with built-in ``pyspark.sql.functions`` — no
+Python UDFs — so the whole pack stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Connected components — near-dup pairs → canonical clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Resolve an undirected edge list into components via hash-min label
+    propagation: every node starts labelled with its own id; each round a
+    node takes the min of its label and its neighbours' labels; fixpoint
+    = per-component min id.
+
+    Scale notes: each round is one shuffle-join on the (symmetrized)
+    edge list plus one groupBy — both partition on node id, and AQE
+    coalesces as labels stabilise.  Rounds needed = graph diameter.
+    Near-dup clusters are near-cliques (a cluster exists BECAUSE its
+    members pairwise match), so diameter is 2-3 and hash-min beats the
+    O(log n)-round alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) on constant factors; for high-diameter graphs (road
+    networks, web link graphs) swap the loop body for star rounds.
+    Per-round eager ``localCheckpoint`` truncates lineage — without it
+    the plan doubles every iteration; the convergence probe rides the
+    monotone label sum (labels only ever decrease), so each round costs
+    exactly one scalar action.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # eager: truncate lineage each round
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def resolve_clusters(
+    edges: DataFrame, src: str = "id1", dst: str = "id2"
+) -> DataFrame:
+    """Canonical-document election over duplicate pairs: components +
+    cluster size + keep/drop flag (keep = min doc id, the deterministic
+    cross-engine choice).  The size rollup partitions on the component
+    label — the same key the final CC round already shuffled on."""
+    cc = connected_components(edges, src, dst)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Ordered: email first (contains digits/dots a later pattern could clip),
+# then SSN (3-2-4) before phone (3-3-4), IPv4 last.  Every pattern is
+# valid and identical under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Redact PII spans in ``text``; returns (redacted_column,
+    {kind: match_count_column}).  Counts are taken against the input as
+    seen by that pattern's turn in the chain (matching the sequential
+    replacement semantics), all JVM-side ``regexp_count`` /
+    ``regexp_replace`` — a pure map, no shuffle, safe at any scale."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    return cur, counts
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Word- and bigram-level repetition per document, after Rae et al.
+    (Gopher, arXiv:2112.11446) §A1.1 quality heuristics adapted to
+    newline-free text: fraction of duplicate words and the share of the
+    most frequent word / bigram; ``repetitive`` applies the paper's
+    0.2 / 0.18 dominance thresholds.
+
+    Shape: explode → count per (doc, gram) → per-doc rollup.  Both
+    aggregations partition by doc-prefixed keys, map-side partials do
+    most of the reduction (gram counts are tiny ints), and nothing is
+    quadratic — cost is linear in token count, the same as a scan."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), F.posexplode(w).alias("pos", "word"))
+    ord_w = Window.partitionBy(id_col).orderBy("pos")
+    grams = toks.select(
+        id_col, "word", F.lead("word").over(ord_w).alias("nxt")
+    )
+    word_counts = grams.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    word_stats = word_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word_c"),
+    )
+    bigram_counts = (
+        grams.filter(F.col("nxt").isNotNull())
+        .select(
+            id_col, F.concat_ws(" ", "word", "nxt").alias("bigram")
+        )
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigram_stats = bigram_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_c")
+    )
+    out = word_stats.join(bigram_stats, id_col, "left")
+    dup_word_frac = (
+        F.lit(1.0)
+        - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    )
+    top_word_frac = (
+        F.col("top_word_c").cast("double") / F.col("n_words").cast("double")
+    )
+    top_bigram_frac = F.coalesce(
+        F.col("top_bigram_c").cast("double")
+        / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return out.select(
+        id_col,
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_distinct").cast("int").alias("n_distinct"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((top_word_frac > 0.2) | (top_bigram_frac > 0.18)).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling
+# ---------------------------------------------------------------------------
+
+def key_hash60(col: Column) -> Column:
+    """The pack's engine-portable 60-bit key hash (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Resample so each domain's share of the output tracks
+    ``weight / sum(weights)``: acceptance rate per domain =
+    min(1, target_share · N / n_domain), membership decided by the
+    deterministic 60-bit key hash — reproducible across engines,
+    retries, and relayouts, unlike ``rand()``/``TABLESAMPLE``.
+
+    Scale notes: domain cardinality is tiny next to row count, so the
+    rate table is one cheap agg + a broadcast join; the filter itself is
+    a pure map evaluated at scan time.  This is the mixture-weights step
+    (The Pile / DoReMi-style reweighting) run before tokenization."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_dom"))
+    all_rows = Window.partitionBy()
+    wtab = (
+        counts.withColumn("w", weight.cast("double"))
+        .withColumn("sum_w", F.sum("w").over(all_rows))
+        .withColumn("n_total", F.sum("n_dom").over(all_rows))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.col("w")
+                * F.col("n_total").cast("double")
+                / (F.col("sum_w") * F.col("n_dom").cast("double")),
+            ).alias("rate"),
+        )
+    )
+    hk = key_hash60(F.col(id_col)) % 1000000
+    return (
+        df.join(F.broadcast(wtab), domain_col)
+        .filter(hk.cast("double") / F.lit(1000000.0) < F.col("rate"))
+        .select(id_col, domain_col, "rate")
+    )

@@ -1213,3 +1213,244 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (round 4, second wave): duplicate-cluster resolution,
+# PII redaction, Gopher repetition rules, domain-mixture resampling.
+# Operators live in llm/curation.py; each query is fully oracled.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_cluster_resolution",
+    f"""
+    WITH RECURSIVE jac AS ({_JACCARD}),
+    pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+    ),
+    cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS cs FROM cc GROUP BY 1)
+    SELECT cc.id AS doc_id, cc.comp AS canonical_id,
+           CAST(cs AS INT) AS cluster_size,
+           cc.id = cc.comp AS is_canonical
+    FROM cc JOIN sizes USING (comp)
+    """,
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS are only half the dedup story: to drop duplicates
+    you must resolve pairs into clusters and elect one canonical doc per
+    cluster (pair-at-a-time deletion breaks on chains A~B~C where A≁C).
+    Edges = exact 3-gram Jaccard ≥ 0.5; components via hash-min label
+    propagation (``llm/curation.py:connected_components`` — O(cluster
+    diameter) joins, lineage-truncated per round); canonical = min
+    doc_id, the deterministic cross-engine choice.  The oracle replays
+    the propagation as a recursive CTE."""
+    from experts_etl_spark.llm.curation import resolve_clusters
+    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return resolve_clusters(ngram_jaccard_pairs(d, "text", "doc_id", 0.5))
+
+
+_PII_ENRICHED = """
+  SELECT doc_id,
+         concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-',
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                CASE WHEN doc_id % 3 = 0 THEN
+                  concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                         '-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+                         '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                  ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  concat(' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+                         CAST((doc_id * 7) % 256 AS VARCHAR))
+                  ELSE '' END) AS text
+  FROM documents
+"""
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH enriched AS ({_PII_ENRICHED}),
+    c1 AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS t1
+      FROM enriched
+    ),
+    c2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS INT) AS n_ssns,
+             regexp_replace(t1, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g') AS t2
+      FROM c1
+    ),
+    c3 AS (
+      SELECT doc_id, n_emails, n_ssns,
+             CAST(len(regexp_extract_all(t2, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS INT) AS n_phones,
+             regexp_replace(t2, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g') AS t3
+      FROM c2
+    )
+    SELECT doc_id, n_emails, n_ssns, n_phones,
+           CAST(len(regexp_extract_all(t3,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ips,
+           regexp_replace(t3,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g') AS redacted
+    FROM c3
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training: ordered regex chain (email → SSN →
+    phone → IPv4) with per-kind match counts, entirely JVM-side
+    ``regexp_count``/``regexp_replace`` — a pure map, no shuffle, the
+    filter-pushdown-friendly shape you want over 100 TB of text.  The
+    synthetic corpus carries no PII, so a deterministic contact tail
+    derived from ``doc_id`` is appended first (identically in Spark and
+    the oracle) — the patterns are exercised with non-zero,
+    doc-dependent counts instead of vacuously matching nothing."""
+    from experts_etl_spark.llm.curation import redact_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tail_ssn = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" ssn "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    tail_ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise("")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        did.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        tail_ssn,
+        tail_ip,
+    )
+    redacted, counts = redact_pii(enriched)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ssn"].alias("n_ssns"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "repetition_metrics",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_W}) AS word,
+             generate_subscripts({_W}, 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM grams GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+             max(c) AS top_word_c
+      FROM wc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, concat_ws(' ', word, nxt) AS bigram, count(*) AS c
+      FROM grams WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c
+      FROM bc GROUP BY 1
+    )
+    SELECT ws.doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_distinct AS INT) AS n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+           CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0)
+             AS top_bigram_frac,
+           (CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+             OR (coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) > 0.18)
+             AS repetitive
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (arXiv:2112.11446 §A1.1) intra-document repetition
+    metrics: duplicate-word fraction and most-frequent word / bigram
+    share, with the paper's 0.2 / 0.18 dominance thresholds as the
+    ``repetitive`` flag.  Explode → (doc, gram) counts → per-doc rollup;
+    linear in token count, both shuffles on doc-prefixed keys with
+    map-side partial aggregation."""
+    from experts_etl_spark.llm.curation import repetition_metrics as rep
+
+    d = read_table(spark, sf_dir, "documents")
+    return rep(d, "text", "doc_id")
+
+
+@query(
+    "domain_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_dom FROM documents GROUP BY 1
+    ),
+    wtab AS (
+      SELECT source,
+             least(1.0,
+               CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE)
+               * CAST(sum(n_dom) OVER () AS DOUBLE)
+               / (sum(CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE)) OVER ()
+                  * CAST(n_dom AS DOUBLE))) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, w.rate
+    FROM documents d JOIN wtab w ON d.source = w.source
+    WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 < w.rate
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (The Pile / DoReMi-style reweighting):
+    per-source acceptance rate = min(1, target_share·N / n_source),
+    membership by the pack's deterministic 60-bit md5 key hash — the
+    reproducible alternative to ``rand()``.  Target weights here are a
+    deterministic function of the source name (srcK → K%4+1) so the
+    oracle can replay them; production passes real mixture weights.
+    Rate table = one tiny agg broadcast back; the filter is a pure map."""
+    from experts_etl_spark.llm.curation import domain_mixture_sample as dms
+
+    d = read_table(spark, sf_dir, "documents")
+    weight = (
+        F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
+    )
+    return dms(d, "doc_id", "source", weight)

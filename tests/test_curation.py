@@ -1,0 +1,125 @@
+"""Semantic invariants for the corpus-curation operators
+(llm/curation.py) — properties the DuckDB parity check can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from experts_etl_spark.llm.curation import (
+    connected_components,
+    domain_mixture_sample,
+    redact_pii,
+    repetition_metrics,
+    resolve_clusters,
+)
+from experts_etl_spark.llm.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3 > one propagation round), pair 10-11,
+    # and a triangle 20-21-22 — all must collapse to their min ids.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id1 int, id2 int",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_resolve_clusters_sizes_and_canonicals(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 int, id2 int"
+    )
+    rows = {r["doc_id"]: r for r in resolve_clusters(edges).collect()}
+    assert rows[1]["cluster_size"] == 4 and rows[1]["is_canonical"]
+    assert rows[4]["canonical_id"] == 1 and not rows[4]["is_canonical"]
+    assert rows[11]["canonical_id"] == 10 and rows[10]["cluster_size"] == 2
+    # exactly one canonical per cluster
+    assert sum(r["is_canonical"] for r in rows.values()) == 2
+
+
+def test_cluster_resolution_consistent_with_pairs(spark):
+    # every pair endpoint lands in the same component as its partner
+    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
+    clusters = QUERIES["dedup_cluster_resolution"](spark, SF_CORRECT)
+    lab = {r["doc_id"]: r["canonical_id"] for r in clusters.collect()}
+    for p in pairs.collect():
+        assert lab[p["id1"]] == lab[p["id2"]], p
+    # canonical ids are cluster minima
+    for doc, comp in lab.items():
+        assert comp <= doc
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.org now"),
+            (2, "ssn 123-45-6789 phone 555-123-4567"),
+            (3, "ip 10.0.0.255 ok"),
+            (4, "nothing here 12-34"),
+        ],
+        "id int, text string",
+    )
+    red, counts = redact_pii(F.col("text"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            red.alias("t"),
+            counts["email"].alias("e"),
+            counts["ssn"].alias("s"),
+            counts["phone"].alias("p"),
+            counts["ip"].alias("i"),
+        ).collect()
+    }
+    assert rows[1]["t"] == "mail [EMAIL] now" and rows[1]["e"] == 1
+    assert rows[2]["t"] == "ssn [SSN] phone [PHONE]"
+    assert (rows[2]["s"], rows[2]["p"]) == (1, 1)
+    assert rows[3]["t"] == "ip [IP] ok" and rows[3]["i"] == 1
+    assert rows[4]["t"] == "nothing here 12-34"
+    assert (rows[4]["e"], rows[4]["s"], rows[4]["p"], rows[4]["i"]) == (0, 0, 0, 0)
+
+
+def test_repetition_metrics_known_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "q r s t u v w x y z")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 5 and r1["n_distinct"] == 2
+    assert abs(r1["top_word_frac"] - 0.8) < 1e-12
+    assert abs(r1["top_bigram_frac"] - 0.75) < 1e-12  # "a a" 3 of 4
+    assert r1["repetitive"]
+    r2 = rows[2]
+    # 10 unique words: top word 1/10, top bigram 1/9 — under both thresholds
+    assert r2["n_distinct"] == 10 and not r2["repetitive"]
+
+
+def test_domain_mixture_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(200)], "doc_id int, source string"
+    )
+    # weight d0=1, d1=3 → shares 25%/75%; rates = min(1, share*N/n_dom)
+    weight = F.when(F.col("source") == "d0", 1).otherwise(3)
+    out = domain_mixture_sample(df, "doc_id", "source", weight)
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert abs(rates["d0"] - 0.5) < 1e-12  # 0.25*200/100
+    assert rates["d1"] == 1.0
+    # acceptance is deterministic and close to the rate at n=100/domain
+    kept = {
+        r["source"]: r["c"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert kept["d1"] == 100
+    assert 35 <= kept["d0"] <= 65
+    again = domain_mixture_sample(df, "doc_id", "source", weight)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
