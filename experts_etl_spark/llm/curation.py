@@ -138,9 +138,11 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks = df.select(F.col(id_col), F.posexplode(w).alias("pos", "word"))
     ord_w = Window.partitionBy(id_col).orderBy("pos")
+    # Materialized once: the word- and bigram-count branches would each
+    # re-scan the source and re-run the per-doc sort otherwise.
     grams = toks.select(
         id_col, "word", F.lead("word").over(ord_w).alias("nxt")
-    )
+    ).localCheckpoint(eager=False)
     word_counts = grams.groupBy(id_col, "word").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -1454,3 +1454,129 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
     )
     return dms(d, "doc_id", "source", weight)
+
+
+@query(
+    "training_corpus_pipeline",
+    f"""
+    WITH RECURSIVE jac AS ({_JACCARD}),
+    pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+    ),
+    dup_losers AS (
+      SELECT id AS doc_id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
+      WHERE id <> comp
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_W}) AS word,
+             generate_subscripts({_W}, 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM grams GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_c FROM wc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, concat_ws(' ', word, nxt) AS bigram, count(*) AS c
+      FROM grams WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c FROM bc GROUP BY 1
+    ),
+    rep AS (
+      SELECT ws.doc_id,
+             (CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+             OR (coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) > 0.18)
+               AS repetitive
+      FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    ),
+    q AS (
+      SELECT doc_id, lang, source,
+             (CAST(len(list_filter({_W}, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(CAST(len({_W}) AS DOUBLE), 1.0)) * 0.5
+             + (least(CAST(length(text) AS DOUBLE), 400.0) / 400.0) * 0.3
+             + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2 AS quality
+      FROM documents
+    ),
+    kept AS (
+      SELECT q.doc_id, q.lang, q.source, q.quality
+      FROM q
+      JOIN rep ON q.doc_id = rep.doc_id
+      LEFT JOIN dup_losers dl ON q.doc_id = dl.doc_id
+      WHERE q.quality >= 0.5 AND NOT rep.repetitive AND dl.doc_id IS NULL
+    ),
+    counts AS (SELECT source, count(*) AS n_dom FROM kept GROUP BY 1),
+    wtab AS (
+      SELECT source,
+             least(1.0,
+               CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE)
+               * CAST(sum(n_dom) OVER () AS DOUBLE)
+               / (sum(CAST(CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS DOUBLE)) OVER ()
+                  * CAST(n_dom AS DOUBLE))) AS rate
+      FROM counts
+    )
+    SELECT k.doc_id, k.lang, k.source, k.quality, w.rate
+    FROM kept k JOIN wtab w ON k.source = w.source
+    WHERE CAST(CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS DOUBLE) / 1000000.0 < w.rate
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation funnel end-to-end, the order a production
+    pretraining pipeline runs it: Gopher repetition gate → quality gate
+    (≥0.5) → duplicate-CLUSTER removal (connected components over
+    Jaccard-0.5 pairs, canonical = min id — survives chains A~B~C where
+    pair-loser deletion over-/under-drops) → domain-mixture resampling
+    at deterministic hash thresholds, rates computed on the CLEANED
+    corpus.  Each stage is the standalone oracled operator; the
+    composition adds no new shuffle keys — repetition + quality are
+    doc-local, cluster labels join on doc_id, the rate table broadcasts."""
+    from experts_etl_spark.llm.curation import (
+        domain_mixture_sample as dms,
+        repetition_metrics as rep,
+        resolve_clusters,
+    )
+    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    # One fact scan: the four stages (quality, repetition, pair mining,
+    # mixture) each consume the same narrow projection — materialize it
+    # once (the pub_cycle single-pass pattern) instead of 9 re-scans.
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=False)
+    )
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "lang", "source", T.quality_score(t).alias("quality")
+    )
+    repetitive = rep(d, "text", "doc_id").select("doc_id", "repetitive")
+    losers = (
+        resolve_clusters(ngram_jaccard_pairs(d, "text", "doc_id", 0.5))
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    kept = (
+        scored.join(repetitive, "doc_id")
+        .filter((F.col("quality") >= 0.5) & ~F.col("repetitive"))
+        .join(losers, "doc_id", "left_anti")
+    )
+    weight = F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
+    sampled = dms(kept, "doc_id", "source", weight)
+    return kept.join(
+        sampled.select("doc_id", "rate"), "doc_id"
+    ).select("doc_id", "lang", "source", "quality", "rate")
