@@ -59,6 +59,8 @@ HEADLINE = [
     "repetition_metrics",
     "domain_mixture_sample",
     "training_corpus_pipeline",
+    "epoch_shuffle",
+    "corpus_token_stats",
 ]
 
 

@@ -1580,3 +1580,119 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(
         sampled.select("doc_id", "rate"), "doc_id"
     ).select("doc_id", "lang", "source", "quality", "rate")
+
+
+@query(
+    "epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(concat('epoch7:', CAST(doc_id AS VARCHAR))), doc_id
+           ) AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch: dense
+    global position in the total order md5(seed || doc_id) —
+    reproducible across engines, retries, and relayouts, and a
+    DIFFERENT uniform permutation per seed (``rand(seed)`` is stable
+    across none of those).
+
+    A bare global ``Window.orderBy`` would coalesce every row into ONE
+    partition — the classic 100 TB driver-killer — so the rank is
+    computed distributed: range-partition on the hash key (uniform md5
+    keys → balanced ranges), per-partition ``row_number``, plus each
+    partition's prefix-count offset (one bounded collect of
+    n_partitions rows, the bookmark-read pattern).  The global position
+    only depends on the TOTAL ORDER, not on where the sampled range
+    boundaries fall, so the sampled partitioner does not perturb the
+    result; the keyed projection is checkpointed so the counts pass and
+    the rank pass see the one same partitioning."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = (
+        d.select("doc_id", hk.alias("hk"))
+        .repartitionByRange(n_parts, "hk", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    acc = 0
+    offsets = []
+    for pid, c in sorted((r["pid"], r["c"]) for r in counts.collect()):
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("hk", "doc_id")
+    return (
+        keyed.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off")).cast("bigint").alias("epoch_pos"),
+        )
+    )
+
+
+@query(
+    "corpus_token_stats",
+    f"""
+    WITH counts AS (
+      SELECT doc_id, lang, CAST(len({_W}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM counts
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_tokens END) AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_tokens END) AS BIGINT) AS p90_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM ranked GROUP BY lang
+    """,
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics with EXACT discrete quantiles via
+    rank selection (value at ceil(p·n) in the (n_tokens, doc_id) total
+    order) — ``approx_percentile`` sketches don't hash-match across
+    engines; rank selection does, and one per-lang window + rollup is
+    the same two-exchange shape as every W-series operator.  At 100 TB
+    the heavy lift is the token count itself (a pure map); the per-lang
+    sort touches only (lang, n_tokens) pairs."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    wlang = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "n_tokens",
+        F.row_number()
+        .over(wlang.orderBy("n_tokens", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wlang).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("n_tokens"),
+        )
+    ).cast("bigint")
+    return ranked.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        pick(0.5).alias("p50_tokens"),
+        pick(0.9).alias("p90_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

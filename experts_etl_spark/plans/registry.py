@@ -31,8 +31,8 @@ for mod in (reference_queries, llm_queries):
 # and every path touched by round-4 changes: the NTZ timestamp fix →
 # user_sessions/session_window_agg/tumbling_window_counts, SRP
 # multi-probe → ann_recall / *_bucketed).  Union of r02-r04 green rows
-# therefore covers all 85 queries registered at rotation time; the 5
-# training-pipeline queries added later in r4 sit after the window
+# therefore covers all 85 queries registered at rotation time; the round-4 additions (training-pipeline,
+# curation, and stats queries) sit after the window
 # (local sf0.01+sf0.1 parity only) and rotate in next round.
 GATE_ORDER = [
     # --- retained composites / changed paths (green in r02+r03) --------

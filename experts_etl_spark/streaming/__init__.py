@@ -27,5 +27,6 @@ from experts_etl_spark.streaming.incremental import (  # noqa: F401
     run_windowed_counts,
     run_sessions,
     run_stateful_sessions,
+    run_streaming_dedup,
     session_window_sessions_frame,
 )

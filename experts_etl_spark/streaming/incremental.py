@@ -342,3 +342,39 @@ def run_stateful_sessions(
     )
     q.awaitTermination()
     return spark.table("stateful_sessions")
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    src: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Ingest-time exact deduplication: a change feed that re-delivers
+    events (at-least-once producers, replayed extracts — the reference
+    re-downloads overlapping Pure change windows on restart,
+    extractor_loaders/pure_api_changes.py:28-41) is deduped by
+    ``event_id`` with ``dropDuplicatesWithinWatermark`` before landing.
+
+    Scale notes: state is keyed by ``event_id`` and EVICTED once the
+    event-time watermark passes — unbounded-key dedup with bounded
+    state, the only shape that survives an infinite stream.  Plain
+    ``dropDuplicates`` on a stream retains every key forever and OOMs;
+    the watermark bound is the whole point.  Duplicates separated by
+    more than the watermark horizon are the target MERGE's idempotence
+    problem (operators/merge.py), not the stream's."""
+    ev = stream_events(spark, src, max_files_per_trigger)
+    deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -164,3 +164,41 @@ def test_pub_cycle_plan_budget(spark):
         assert len(cached) == 2, cached
     finally:
         spark.catalog.clearCache()
+
+
+def test_curation_pack_plan_budget(spark):
+    """Round-4 curation pack plan pins: PII redaction is a pure map
+    (zero exchanges — one scan, regexp chain, nothing else);
+    repetition_metrics and the training_corpus_pipeline composite read
+    their shared subtree through a lazy localCheckpoint, so no fact
+    parquet re-scan survives in the executed plan."""
+    p = plan_of(QUERIES["pii_redaction"](spark, SF_SMOKE))
+    assert shuffles(p) == 0, p
+    assert p.count("Scan parquet") == 1, p
+
+    r = plan_of(QUERIES["repetition_metrics"](spark, SF_SMOKE))
+    assert r.count("Scan parquet") == 0, r  # checkpointed gram stream
+    assert shuffles(r) <= 4, shuffles(r)
+
+    t = plan_of(QUERIES["training_corpus_pipeline"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in t
+    assert t.count("Scan parquet") == 0, t  # single materialized base
+
+
+def test_domain_mixture_broadcasts_rate_table(spark):
+    """The per-domain rate table must broadcast — the row-level filter
+    join shuffling the fact on `source` (20 keys) would be a skew
+    disaster at 100 TB."""
+    p = plan_of(QUERIES["domain_mixture_sample"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert shuffles(p) <= 1, shuffles(p)  # only the tiny counts agg
+
+
+def test_epoch_shuffle_is_distributed_rank(spark):
+    """The global training-order rank must never collapse to a bare
+    global window (Exchange SinglePartition = every row through one
+    task).  The scalable shape: range partition on the hash key +
+    per-partition row_number + broadcast prefix offsets."""
+    p = plan_of(QUERIES["epoch_shuffle"](spark, SF_SMOKE))
+    assert "SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p  # prefix offsets broadcast, not shuffled

@@ -288,3 +288,38 @@ def test_session_window_sessions_tolerate_out_of_order_feed(spark, tmp_path):
         (2, t0 + 1 * m, t0 + 1 * m, 1),
         (2, t0 + 15 * m, t0 + 15 * m, 1),
     ]
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, events_feed_dir, tmp_path):
+    """A feed that re-delivers whole files (at-least-once producer) must
+    land exactly the batch-distinct row set."""
+    import glob
+    import shutil
+
+    from experts_etl_spark.streaming import run_streaming_dedup
+
+    dup_feed = tmp_path / "dup_feed"
+    dup_feed.mkdir()
+    files = sorted(glob.glob(os.path.join(events_feed_dir, "*.parquet")))
+    for i, f in enumerate(files):
+        shutil.copy(f, dup_feed / f"events_{i}.parquet")
+        os.utime(dup_feed / f"events_{i}.parquet", (1_700_000_000 + i * 60,) * 2)
+    # re-deliver the middle file after the last one (late duplicate,
+    # still inside the 1h watermark horizon of a 3-way time split)
+    redelivery = dup_feed / "events_redelivered.parquet"
+    shutil.copy(files[1], redelivery)
+    os.utime(redelivery, (1_700_000_000 + len(files) * 60,) * 2)
+
+    target = str(tmp_path / "deduped")
+    run_streaming_dedup(
+        spark,
+        str(dup_feed),
+        target_dir=target,
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"),
+        watermark="365 days",  # sf0.001 events span months — keep all keys live
+        max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(target)
+    want = spark.read.parquet(*files)
+    assert got.count() == want.count() == got.select("event_id").distinct().count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -42,6 +42,12 @@ PACK = [
     "tfidf_topk_terms",
     "sequence_packing",
     "stratified_sample",
+    # corpus-curation pack (round 4, second wave)
+    "dedup_cluster_resolution",
+    "pii_redaction",
+    "repetition_metrics",
+    "domain_mixture_sample",
+    "training_corpus_pipeline",
 ]
 
 
