@@ -61,6 +61,7 @@ HEADLINE = [
     "training_corpus_pipeline",
     "epoch_shuffle",
     "corpus_token_stats",
+    "dedup_incremental_ingest",
 ]
 
 

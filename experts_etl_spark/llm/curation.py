@@ -44,10 +44,18 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    # Seed with min(self, direct neighbours) instead of self: folds the
+    # first propagation round into initialization (one groupBy on the
+    # same key the loop shuffles on), so a clique — the common near-dup
+    # cluster shape — converges immediately and pays one loop round
+    # (the convergence confirmation) instead of two.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("mn")).alias("comp"),
+        )
         .localCheckpoint(eager=False)
     )
     prev_sum = None

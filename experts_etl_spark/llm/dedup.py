@@ -202,20 +202,16 @@ def minhash_signatures(
     return shx.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
-    signatures: DataFrame, id_col: str, band_rows: int = BAND_ROWS,
-    max_df: int | None = None,
+def band_stack(
+    signatures: DataFrame, id_col: str, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """LSH banding: concat each band of the signature into a key; docs
-    sharing any (band_idx, band_key) are candidates.  The self-join is
-    blocked on the band key — the only shuffle that scales with corpus
-    size."""
+    """Explode a signature table into (id, band_idx, band_key) rows.
+    One exploded array of structs, NOT a union of n_bands projections: a
+    union references the signature subtree once per band and a self-join
+    doubles that — 2·n_bands copies of the aggregation in one plan.
+    Explode keeps it at one per join side."""
     h_cols = [c for c in signatures.columns if c.startswith("h")]
     n_bands = len(h_cols) // band_rows
-    # One exploded array of (band_idx, band_key) structs, NOT a union of
-    # n_bands projections: a union references the signature subtree once
-    # per band and the self-join doubles that — 2·n_bands copies of the
-    # aggregation in one plan.  Explode keeps it at one per join side.
     band_structs = []
     for bi in range(n_bands):
         chunk = h_cols[bi * band_rows : (bi + 1) * band_rows]
@@ -227,10 +223,22 @@ def lsh_candidates(
                 ).alias("band_key"),
             )
         )
-    stacked = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_b.band_idx", "_b.band_key")
-    stacked = with_max_df(stacked, "band_key", max_df)
+
+
+def lsh_candidates(
+    signatures: DataFrame, id_col: str, band_rows: int = BAND_ROWS,
+    max_df: int | None = None,
+) -> DataFrame:
+    """LSH banding: concat each band of the signature into a key; docs
+    sharing any (band_idx, band_key) are candidates.  The self-join is
+    blocked on the band key — the only shuffle that scales with corpus
+    size."""
+    stacked = with_max_df(
+        band_stack(signatures, id_col, band_rows), "band_key", max_df
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -463,3 +471,70 @@ def simhash_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def signature_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """One aggregation pass producing the MinHash signature (for
+    banding) AND the shingle set (for exact verify) per document — the
+    stored-signature-table shape a production pipeline persists at
+    ingest.  Lazily checkpointed: it feeds banding and both verify
+    sides, and Catalyst does not share the subtree across differing
+    broadcast exchanges."""
+    sh = doc_shingles(df, text_col, id_col)
+    shx = sh.withColumn("x", hex60(F.col("shingle")) % P31)
+    aggs = [
+        F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")
+        for i in range(n_hashes)
+    ] + [F.collect_set("shingle").alias("sh")]
+    return shx.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
+
+
+def incremental_lsh_dedup(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Asymmetric MinHash-LSH: match a NEW ingest batch against an
+    existing INDEX corpus — the daily 100 TB pattern (dedupe today's
+    crawl against everything already kept) where re-running the full
+    self-join would re-pay the whole corpus every day.
+
+    Shape: the index side's signature table is computed once (in
+    production: read from the signature store this function's
+    aggregation mirrors) and ONLY its band-key-matched slice joins the
+    new batch's bands — cost tracks |new| + matched-band volume, never
+    |index|².  Verify is exact Jaccard on candidate pairs only, same as
+    :func:`minhash_lsh_dedup`.  Returns (new_id, index_id, jaccard) for
+    pairs at or above ``threshold`` — the new documents to reject."""
+    sig_i = signature_shingle_sets(index_df, text_col, id_col)
+    sig_n = signature_shingle_sets(new_df, text_col, id_col)
+    bands_i = band_stack(sig_i.drop("sh"), id_col)
+    bands_n = band_stack(sig_n.drop("sh"), id_col)
+    cands = (
+        bands_n.alias("n")
+        .join(bands_i.alias("i"), on=["band_idx", "band_key"])
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("index_id"),
+        )
+        .distinct()
+    )
+    a = sig_n.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh1"))
+    b = sig_i.select(F.col(id_col).alias("index_id"), F.col("sh").alias("sh2"))
+    scored = (
+        cands.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "new_id", "index_id", "jaccard"
+    )

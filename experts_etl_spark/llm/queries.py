@@ -1696,3 +1696,40 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      FROM bands n JOIN bands i USING (band_idx, band_key)
+      WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+    ),
+    jac AS ({_JACCARD})
+    SELECT c.new_id, c.index_id, j.jaccard
+    FROM cands c JOIN jac j
+      ON j.id1 = least(c.new_id, c.index_id)
+     AND j.id2 = greatest(c.new_id, c.index_id)
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: match TODAY'S batch (the deterministic
+    ``doc_id % 10 = 7`` slice here; in production, the new crawl)
+    against the already-indexed corpus via an ASYMMETRIC band join —
+    never a corpus self-join, so daily cost tracks the batch, not the
+    archive (``llm/dedup.py:incremental_lsh_dedup``).  The oracle
+    replays banding over the full corpus and filters to the same
+    new-vs-index orientation; minhash signatures are per-document, so
+    split-computed Spark signatures match whole-corpus oracle ones."""
+    from experts_etl_spark.llm.dedup import incremental_lsh_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") % 10 == 7)
+    index = d.filter(F.col("doc_id") % 10 != 7)
+    return incremental_lsh_dedup(index, new_batch, "text", "doc_id", 0.5)

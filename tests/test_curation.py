@@ -123,3 +123,62 @@ def test_domain_mixture_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_curation_ops_tolerate_null_and_empty_text(spark):
+    """100 TB corpora carry nulls and empties; none of the curation ops
+    may crash on them, and each one's drop/keep behavior is pinned."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here ok")],
+        "doc_id int, text string",
+    )
+    rep = {r["doc_id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    # null text explodes to nothing -> doc absent; empty/whitespace text
+    # splits to [""] -> one empty-string token, never a crash
+    assert 1 not in rep
+    assert rep[2]["n_words"] == 1 and rep[4]["n_words"] == 4
+
+    red, counts = redact_pii(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", red.alias("t"), counts["email"].alias("e")).collect()
+    }
+    assert rows[1]["t"] is None and rows[1]["e"] is None  # null propagates
+    assert rows[2]["t"] == "" and rows[2]["e"] == 0
+
+    from experts_etl_spark.llm.dedup import incremental_lsh_dedup, ngram_jaccard_pairs
+
+    # shingle-based ops: docs under 3 tokens (incl. null/empty) produce
+    # no shingles and silently drop from pair mining — no crash
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", 0.1)
+    assert pairs.count() == 0
+
+    inc = incremental_lsh_dedup(
+        df.filter(F.col("doc_id") < 3), df.filter(F.col("doc_id") >= 3),
+        "text", "doc_id", 0.1,
+    )
+    assert inc.count() == 0
+
+
+def test_incremental_ingest_matches_full_selfjoin_slice(spark):
+    """Asymmetric new-vs-index dedup must find exactly the full
+    self-join's pairs that straddle the split (same bands, same verify):
+    no pair invented, none lost at the boundary."""
+    from experts_etl_spark.llm.dedup import incremental_lsh_dedup, minhash_lsh_dedup
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    full = {
+        (min(r["id1"], r["id2"]), max(r["id1"], r["id2"]))
+        for r in minhash_lsh_dedup(d, "text", "doc_id", 0.5).collect()
+        if (r["id1"] % 10 == 7) != (r["id2"] % 10 == 7)
+    }
+    inc = {
+        (min(r["new_id"], r["index_id"]), max(r["new_id"], r["index_id"]))
+        for r in incremental_lsh_dedup(
+            d.filter(F.col("doc_id") % 10 != 7),
+            d.filter(F.col("doc_id") % 10 == 7),
+            "text", "doc_id", 0.5,
+        ).collect()
+    }
+    assert inc == full

@@ -48,6 +48,7 @@ PACK = [
     "repetition_metrics",
     "domain_mixture_sample",
     "training_corpus_pipeline",
+    "dedup_incremental_ingest",
 ]
 
 
