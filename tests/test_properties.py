@@ -252,3 +252,65 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
     for pair, j in lsh.items():
         assert pair in exact, f"LSH invented pair {pair}"
         assert abs(exact[pair] - j) < 1e-12
+
+
+# --- round-4 curation operators -------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edge_lists)
+@SET
+def test_connected_components_match_union_find(spark, edges):
+    """Hash-min label propagation must agree with a driver-side
+    union-find on arbitrary graphs (chains, cycles, stars, islands)."""
+    from experts_etl_spark.llm.curation import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for n in parent:
+        root = find(n)
+        want.setdefault(root, set()).add(n)
+    expected = {n: min(members) for members in want.values() for n in members}
+
+    df = spark.createDataFrame(edges, "id1 int, id2 int")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+pii_texts = st.text(
+    alphabet=st.sampled_from(list("abz01239.-@ ")), min_size=0, max_size=40
+)
+
+
+@given(pii_texts)
+@SET
+def test_redact_pii_idempotent_and_clean(spark, text):
+    """Redaction is idempotent (tokens contain no redactable spans) and
+    a second pass finds zero matches — no pattern matches its own
+    replacement or a neighbour's residue."""
+    from experts_etl_spark.llm.curation import redact_pii
+
+    df = spark.createDataFrame([(text,)], "text string")
+    once, _ = redact_pii(F.col("text"))
+    row = df.select(once.alias("t1")).collect()[0]
+    df2 = spark.createDataFrame([(row["t1"],)], "text string")
+    twice, counts2 = redact_pii(F.col("text"))
+    r2 = df2.select(
+        twice.alias("t2"), *[c.alias(k) for k, c in counts2.items()]
+    ).collect()[0]
+    assert r2["t2"] == row["t1"]
+    assert all(r2[k] == 0 for k in ("email", "ssn", "phone", "ip"))
