@@ -211,3 +211,28 @@ def export_csv(df: "DataFrame", path: str, order_by: Sequence[str]) -> int:
             writer.writerow(list(row))
             n += 1
     return n
+
+
+def write_training_shards(
+    df: "DataFrame",
+    path: str,
+    order_col: str,
+    n_shards: int,
+    max_records_per_file: int,
+) -> None:
+    """Emit a training corpus as globally-ordered, size-bounded parquet
+    shards: range-partition on the order column (the epoch_shuffle
+    position), sort within partitions, cap records per file.  Every
+    shard file then covers a disjoint, internally-sorted slice of the
+    global order — a data loader streams shards in filename-interval
+    order and sees the exact epoch permutation, with no single-node
+    sort anywhere (the range partitioner samples boundaries; each task
+    sorts only its slice).  ``maxRecordsPerFile`` keeps individual
+    files loader-friendly regardless of partition skew."""
+    (
+        df.repartitionByRange(n_shards, order_col)
+        .sortWithinPartitions(order_col)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )

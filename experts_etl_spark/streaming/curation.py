@@ -1,0 +1,142 @@
+"""Streaming corpus curation: the training-data side of the 4-hour
+cycle.  New document files land continuously; each micro-batch is
+quality-gated, repetition-filtered, PII-redacted, and deduplicated
+against everything already kept, then routed to keep/reject sinks.
+
+``foreachBatch`` reuses the BATCH curation operators verbatim
+(llm/text.py, llm/curation.py) — one code path for batch backfills and
+the streaming tail, the same design as streaming/incremental.py's CDC
+consume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _documents_schema(spark: SparkSession, src: str):
+    return spark.read.parquet(src).schema
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    src: str,
+    keep_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    quality_min: float = 0.5,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``src`` (``availableNow``) routing every document to keep
+    or reject with a recorded reason.
+
+    Per micro-batch, in order:
+
+    1. quality score + Gopher repetition flag (doc-local, pure
+       map/agg — ``llm/text.py:quality_score``,
+       ``llm/curation.py:repetition_metrics``);
+    2. PII redaction of the kept text (pure map);
+    3. in-batch exact dedup (first by doc_id keeps, W9 shape);
+    4. cross-batch exact dedup: anti-join the batch's fingerprints
+       against the KEPT corpus's fingerprint column — column-pruned
+       scan of one string column; a production deployment persists the
+       fingerprint set as its own compact table (the signature-store
+       pattern, llm/dedup.py:signature_shingle_sets) so per-tick cost
+       tracks the batch, not the archive.
+
+    Ordering note: reasons are assigned first-match (quality →
+    repetition → duplicate), so a low-quality copy of a kept doc
+    records ``low_quality``, mirroring the batch funnel's stage order
+    (llm/queries.py:training_corpus_pipeline).
+    """
+    from experts_etl_spark.llm.curation import redact_pii, repetition_metrics
+    from experts_etl_spark.llm.text import fingerprint, quality_score
+
+    reader = spark.readStream.schema(_documents_schema(spark, src))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src)
+
+    def curate(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        t = F.col("text")
+        scored = batch.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            quality_score(t).alias("quality"),
+            fingerprint(t).alias("fp"),
+        )
+        rep = repetition_metrics(batch, "text", "doc_id").select(
+            "doc_id", "repetitive"
+        )
+        from pyspark.sql import Window
+
+        staged = (
+            scored.join(rep, "doc_id", "left")
+            .withColumn(
+                "repetitive", F.coalesce("repetitive", F.lit(False))
+            )
+            .withColumn(
+                "dup_in_batch",
+                F.row_number().over(
+                    Window.partitionBy("fp").orderBy("doc_id")
+                )
+                > 1,
+            )
+        )
+        if os.path.exists(keep_dir) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(keep_dir)
+            for f in fs
+        ):
+            kept_fps = spark_b.read.parquet(keep_dir).select("fp").distinct()
+            staged = staged.join(
+                kept_fps.withColumn("dup_in_corpus", F.lit(True)),
+                "fp",
+                "left",
+            ).withColumn(
+                "dup_in_corpus", F.coalesce("dup_in_corpus", F.lit(False))
+            )
+        else:
+            staged = staged.withColumn("dup_in_corpus", F.lit(False))
+        reason = (
+            F.when(F.col("quality") < quality_min, "low_quality")
+            .when(F.col("repetitive"), "repetitive")
+            .when(F.col("dup_in_batch") | F.col("dup_in_corpus"), "duplicate")
+        )
+        staged = staged.withColumn("reject_reason", reason).localCheckpoint(
+            eager=True  # one pass feeds both sinks; lineage reads keep_dir
+        )
+        redacted, _ = redact_pii(F.col("text"))
+        (
+            staged.filter(F.col("reject_reason").isNull())
+            .select(
+                "doc_id",
+                redacted.alias("text"),
+                "lang",
+                "source",
+                "quality",
+                "fp",
+            )
+            .write.mode("append")
+            .parquet(keep_dir)
+        )
+        (
+            staged.filter(F.col("reject_reason").isNotNull())
+            .select("doc_id", "lang", "source", "quality", "reject_reason")
+            .write.mode("append")
+            .parquet(reject_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

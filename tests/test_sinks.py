@@ -211,3 +211,33 @@ def test_overwrite_partitions_kill_mid_publish_leaves_target_readable(
         )
     # at least one partition was published before the kill
     assert any(eid >= 10 for eid in got.values())
+
+
+def test_write_training_shards_disjoint_sorted_bounded(spark, tmp_path):
+    """Shard files must partition the global epoch order: pairwise
+    disjoint [min,max] position intervals, sorted within each file,
+    every file under the record cap, nothing lost."""
+    import glob
+
+    from experts_etl_spark.llm.queries import QUERIES
+    from experts_etl_spark.sources.sinks import write_training_shards
+    from tests.conftest import SF_SMOKE
+
+    epoch = QUERIES["epoch_shuffle"](spark, SF_SMOKE)
+    out = str(tmp_path / "shards")
+    write_training_shards(epoch, out, "epoch_pos", n_shards=4,
+                          max_records_per_file=64)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 8  # 500 rows / 64 cap over 4 range partitions
+    intervals = []
+    total = 0
+    for f in files:
+        rows = [r["epoch_pos"] for r in spark.read.parquet(f).collect()]
+        assert len(rows) <= 64
+        assert rows == sorted(rows), f
+        intervals.append((min(rows), max(rows)))
+        total += len(rows)
+    assert total == epoch.count()
+    intervals.sort()
+    for (a1, b1), (a2, b2) in zip(intervals, intervals[1:]):
+        assert b1 < a2, (a1, b1, a2, b2)

@@ -323,3 +323,63 @@ def test_streaming_dedup_drops_redelivered_events(spark, events_feed_dir, tmp_pa
     want = spark.read.parquet(*files)
     assert got.count() == want.count() == got.select("event_id").distinct().count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_curation_routes_and_dedups_across_batches(spark, tmp_path):
+    """Keep/reject routing invariants across micro-batches: every doc
+    lands exactly once, kept fingerprints are globally unique even when
+    a later file re-ships a kept doc, and each rejection has a reason."""
+    from experts_etl_spark.llm.text import fingerprint, quality_score
+    from experts_etl_spark.sources import read_table
+    from experts_etl_spark.streaming import run_streaming_curation
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    feed = tmp_path / "doc_feed"
+    feed.mkdir()
+    third = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, part in enumerate(third):
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+    import glob
+    import shutil
+
+    srcs = []
+    for i in range(3):
+        f = glob.glob(str(tmp_path / f"stage_{i}" / "*.parquet"))[0]
+        dst = feed / f"docs_{i}.parquet"
+        shutil.copy(f, dst)
+        srcs.append(dst)
+    # batch 3 re-ships batch 0's docs under shifted ids: all dups of
+    # already-kept content (or copies of already-rejected content)
+    redelivered = third[0].withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    redelivered.coalesce(1).write.parquet(str(tmp_path / "stage_3"))
+    f = glob.glob(str(tmp_path / "stage_3" / "*.parquet"))[0]
+    shutil.copy(f, feed / "docs_3.parquet")
+    for i, name in enumerate(sorted(os.listdir(feed))):
+        os.utime(feed / name, (1_700_000_000 + i * 60,) * 2)
+
+    keep, reject = str(tmp_path / "keep"), str(tmp_path / "reject")
+    run_streaming_curation(
+        spark,
+        str(feed),
+        keep_dir=keep,
+        reject_dir=reject,
+        checkpoint_dir=str(tmp_path / "ckpt_cur"),
+        max_files_per_trigger=1,
+    )
+    kept = spark.read.parquet(keep)
+    rejected = spark.read.parquet(reject)
+    n_in = docs.count() + redelivered.count()
+    assert kept.count() + rejected.count() == n_in
+    # kept fingerprints globally unique (cross-batch dedup held)
+    assert kept.select("fp").distinct().count() == kept.count()
+    # every kept doc passes the gates; every reject has a reason
+    assert kept.filter(F.col("quality") < 0.5).count() == 0
+    assert rejected.filter(F.col("reject_reason").isNull()).count() == 0
+    # every re-shipped copy of KEPT batch-0 content was rejected:
+    # no shifted id may appear in keep with a fingerprint batch 0 kept
+    shifted_kept = kept.filter(F.col("doc_id") >= 1000000)
+    early_fps = kept.filter(F.col("doc_id") < 1000000).select("fp")
+    overlap = shifted_kept.join(early_fps, "fp").count()
+    assert overlap == 0
