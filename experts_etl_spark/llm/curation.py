@@ -79,6 +79,15 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Partially-propagated labels would split true clusters and let
+        # duplicates through SILENTLY — refuse instead.  Hitting this
+        # means the graph's diameter exceeds max_iter (not a near-dup
+        # shape); raise so the caller picks star-contraction rounds or
+        # a bigger budget.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels
 
 
@@ -199,10 +208,11 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def key_hash60(col: Column) -> Column:
-    """The pack's engine-portable 60-bit key hash (md5 prefix)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    """The pack's engine-portable 60-bit key hash (md5 prefix) —
+    delegates to the one canonical implementation (dedup.hex60)."""
+    from experts_etl_spark.llm.dedup import hex60
+
+    return hex60(col.cast("string"))
 
 
 def domain_mixture_sample(

@@ -260,25 +260,7 @@ def minhash_lsh_dedup(
     candidate count; the full shingle-blocked self-join
     (:func:`ngram_jaccard_pairs`) is the exact-but-quadratic-ish baseline
     LSH exists to avoid."""
-    # ONE aggregation pass produces both the MinHash signature (for
-    # banding) and the shingle set (for exact verify) — the split
-    # formulation (minhash_signatures + a second doc_shingles→collect_set)
-    # exploded and shuffled the corpus twice.
-    sh = doc_shingles(df, text_col, id_col)
-    shx = sh.withColumn("x", hex60(F.col("shingle")) % P31)
-    aggs = [
-        F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ] + [F.collect_set("shingle").alias("sh")]
-    # The signature aggregation is THE corpus-scale pass (explode + one
-    # shuffle).  It feeds three plan sites (banding, verify side 1,
-    # verify side 2); Catalyst does not share the subtree across their
-    # differing broadcast exchanges, so without materialization the
-    # corpus would be exploded and shuffled three times.  A real 100 TB
-    # pipeline writes signatures to a table for the same reason; the
-    # lazy localCheckpoint is the in-session equivalent (computed once
-    # at first action, no CacheManager/InMemoryRelation overhead).
-    sigsets = shx.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
+    sigsets = signature_shingle_sets(df, text_col, id_col)
     cands = lsh_candidates(sigsets.drop("sh"), id_col)
     a = sigsets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = sigsets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))

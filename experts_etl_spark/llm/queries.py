@@ -1459,26 +1459,21 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "training_corpus_pipeline",
     f"""
-    WITH RECURSIVE jac AS ({_JACCARD}),
-    pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
-    edges AS (
-      SELECT id1 AS a, id2 AS b FROM pairs
-      UNION
-      SELECT id2 AS a, id1 AS b FROM pairs
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, lang, source, {_W} AS w FROM documents
     ),
-    walk(id, comp) AS (
-      SELECT DISTINCT a, a FROM edges
-      UNION
-      SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
-    ),
-    dup_losers AS (
-      SELECT id AS doc_id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
-      WHERE id <> comp
+    q AS (
+      SELECT doc_id, lang, source, w,
+             (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.5
+             + (least(CAST(length(text) AS DOUBLE), 400.0) / 400.0) * 0.3
+             + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2 AS quality
+      FROM base
     ),
     toks AS (
-      SELECT doc_id, unnest({_W}) AS word,
-             generate_subscripts({_W}, 1) AS pos
-      FROM documents
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM base
     ),
     grams AS (
       SELECT doc_id, word,
@@ -1503,21 +1498,48 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS repetitive
       FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
     ),
-    q AS (
-      SELECT doc_id, lang, source,
-             (CAST(len(list_filter({_W}, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / greatest(CAST(len({_W}) AS DOUBLE), 1.0)) * 0.5
-             + (least(CAST(length(text) AS DOUBLE), 400.0) / 400.0) * 0.3
-             + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2 AS quality
-      FROM documents
+    gated AS (
+      SELECT q.doc_id, q.lang, q.source, q.w, q.quality
+      FROM q JOIN rep ON q.doc_id = rep.doc_id
+      WHERE q.quality >= 0.5 AND NOT rep.repetitive
+    ),
+    gsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, CASE WHEN len(w) >= 3 THEN len(w) - 1 ELSE 1 END),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+      FROM gated
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM gsh a JOIN gsh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id1, id2
+      FROM inter
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, wk.comp FROM walk wk JOIN edges e ON wk.id = e.a
+    ),
+    dup_losers AS (
+      SELECT id AS doc_id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
+      WHERE id <> comp
     ),
     kept AS (
-      SELECT q.doc_id, q.lang, q.source, q.quality
-      FROM q
-      JOIN rep ON q.doc_id = rep.doc_id
-      LEFT JOIN dup_losers dl ON q.doc_id = dl.doc_id
-      WHERE q.quality >= 0.5 AND NOT rep.repetitive AND dl.doc_id IS NULL
+      SELECT g.doc_id, g.lang, g.source, g.quality
+      FROM gated g LEFT JOIN dup_losers dl ON g.doc_id = dl.doc_id
+      WHERE dl.doc_id IS NULL
     ),
     counts AS (SELECT source, count(*) AS n_dom FROM kept GROUP BY 1),
     wtab AS (
@@ -1537,14 +1559,21 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 curation funnel end-to-end, the order a production
-    pretraining pipeline runs it: Gopher repetition gate → quality gate
-    (≥0.5) → duplicate-CLUSTER removal (connected components over
-    Jaccard-0.5 pairs, canonical = min id — survives chains A~B~C where
-    pair-loser deletion over-/under-drops) → domain-mixture resampling
-    at deterministic hash thresholds, rates computed on the CLEANED
-    corpus.  Each stage is the standalone oracled operator; the
-    composition adds no new shuffle keys — repetition + quality are
-    doc-local, cluster labels join on doc_id, the rate table broadcasts."""
+    pretraining pipeline runs it: Gopher repetition gate + quality gate
+    (≥0.5) FIRST, then duplicate-CLUSTER removal among the SURVIVORS
+    (connected components over Jaccard-0.5 pairs, canonical = min
+    surviving id), then domain-mixture resampling at deterministic hash
+    thresholds with rates computed on the cleaned corpus.  Gates run
+    before dedup so a low-quality canonical cannot drag its whole
+    cluster out of the corpus — the gated-out copy is simply absent and
+    the best surviving member is elected instead; dedup over the gated
+    subset is also strictly cheaper (pair mining over fewer docs).
+
+    Plan shape: the base projection is materialized once (pub_cycle
+    single-pass pattern); the gated survivor set is materialized once
+    more, because it feeds pair mining, the loser anti-join, the
+    mixture-rate aggregation, and the final join — four consumers whose
+    differing exchanges Catalyst will not subtree-share."""
     from experts_etl_spark.llm.curation import (
         domain_mixture_sample as dms,
         repetition_metrics as rep,
@@ -1552,9 +1581,6 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
 
-    # One fact scan: the four stages (quality, repetition, pair mining,
-    # mixture) each consume the same narrow projection — materialize it
-    # once (the pub_cycle single-pass pattern) instead of 9 re-scans.
     d = (
         read_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", "source")
@@ -1562,18 +1588,26 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("text")
     scored = d.select(
-        "doc_id", "lang", "source", T.quality_score(t).alias("quality")
+        "doc_id", "text", "lang", "source", T.quality_score(t).alias("quality")
     )
     repetitive = rep(d, "text", "doc_id").select("doc_id", "repetitive")
+    gated = (
+        scored.join(repetitive, "doc_id")
+        .filter((F.col("quality") >= 0.5) & ~F.col("repetitive"))
+        .localCheckpoint(eager=False)
+    )
     losers = (
-        resolve_clusters(ngram_jaccard_pairs(d, "text", "doc_id", 0.5))
+        resolve_clusters(ngram_jaccard_pairs(gated, "text", "doc_id", 0.5))
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
+    # kept feeds the mixture-rate agg, the rate filter join, and the
+    # final column-recovery join — materialize the narrow survivor set
+    # once or the pair-mining/anti-join subtree runs three times.
     kept = (
-        scored.join(repetitive, "doc_id")
-        .filter((F.col("quality") >= 0.5) & ~F.col("repetitive"))
-        .join(losers, "doc_id", "left_anti")
+        gated.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "quality")
+        .localCheckpoint(eager=False)
     )
     weight = F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
     sampled = dms(kept, "doc_id", "source", weight)

@@ -89,12 +89,25 @@ def run_streaming_curation(
                 > 1,
             )
         )
-        if os.path.exists(keep_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(keep_dir)
-            for f in fs
-        ):
-            kept_fps = spark_b.read.parquet(keep_dir).select("fp").distinct()
+        # Probe the kept corpus through Spark, not os.path: keep_dir may
+        # be an object-store/HDFS URI where a POSIX check is always
+        # False and would silently disable cross-batch dedup (the
+        # overwrite_partitions remote-path rule, sources/sinks.py).
+        try:
+            # Exclude THIS batch's own partition: an at-least-once
+            # replay of batch N must not read its first attempt's rows
+            # and self-reject everything as 'duplicate' (which would
+            # then overwrite the keep partition with nothing).
+            kept_fps = (
+                spark_b.read.parquet(keep_dir)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("fp")
+                .distinct()
+            )
+            have_corpus = True
+        except Exception:  # AnalysisException: path does not exist yet
+            have_corpus = False
+        if have_corpus:
             staged = staged.join(
                 kept_fps.withColumn("dup_in_corpus", F.lit(True)),
                 "fp",
@@ -104,8 +117,15 @@ def run_streaming_curation(
             )
         else:
             staged = staged.withColumn("dup_in_corpus", F.lit(False))
+        # Fail CLOSED on null/unscorable text: quality_score(NULL) is
+        # NULL and `NULL < min` never matches a when-branch, which
+        # would route garbage rows to the keep sink.
         reason = (
-            F.when(F.col("quality") < quality_min, "low_quality")
+            F.when(
+                ~(F.col("quality") >= quality_min)
+                | F.col("quality").isNull(),
+                "low_quality",
+            )
             .when(F.col("repetitive"), "repetitive")
             .when(F.col("dup_in_batch") | F.col("dup_in_corpus"), "duplicate")
         )
@@ -113,6 +133,11 @@ def run_streaming_curation(
             eager=True  # one pass feeds both sinks; lineage reads keep_dir
         )
         redacted, _ = redact_pii(F.col("text"))
+        # Idempotent under at-least-once foreachBatch replays: each
+        # batch overwrites ITS OWN batch_id partition (and the fp probe
+        # above excludes it), so a crash between the writes and the
+        # checkpoint commit re-runs the batch into the same directories
+        # instead of appending rows twice.
         (
             staged.filter(F.col("reject_reason").isNull())
             .select(
@@ -123,14 +148,14 @@ def run_streaming_curation(
                 "quality",
                 "fp",
             )
-            .write.mode("append")
-            .parquet(keep_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(keep_dir, f"batch_id={batch_id}"))
         )
         (
             staged.filter(F.col("reject_reason").isNotNull())
             .select("doc_id", "lang", "source", "quality", "reject_reason")
-            .write.mode("append")
-            .parquet(reject_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(reject_dir, f"batch_id={batch_id}"))
         )
 
     q = (

@@ -383,3 +383,36 @@ def test_streaming_curation_routes_and_dedups_across_batches(spark, tmp_path):
     early_fps = kept.filter(F.col("doc_id") < 1000000).select("fp")
     overlap = shifted_kept.join(early_fps, "fp").count()
     assert overlap == 0
+
+
+def test_streaming_curation_rejects_null_text_fail_closed(spark, tmp_path):
+    """quality_score(NULL) is NULL; the gate must fail CLOSED (reject
+    with low_quality), never route unscorable rows to the keep sink."""
+    from experts_etl_spark.streaming import run_streaming_curation
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    spark.createDataFrame(
+        [
+            (1, None, "en", "s0", 0),
+            (2, "the of and to in is it a good long enough document", "en", "s0", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+        feed / "docs_0.parquet",
+    )
+    keep, reject = str(tmp_path / "keep"), str(tmp_path / "reject")
+    run_streaming_curation(
+        spark, str(feed), keep_dir=keep, reject_dir=reject,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rejected = spark.read.parquet(reject)
+    row = rejected.filter(F.col("doc_id") == 1).collect()
+    assert len(row) == 1 and row[0]["reject_reason"] == "low_quality"
+    kept = spark.read.parquet(keep)
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
