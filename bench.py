@@ -62,6 +62,7 @@ HEADLINE = [
     "epoch_shuffle",
     "corpus_token_stats",
     "dedup_incremental_ingest",
+    "dedup_lsh_recall",
 ]
 
 

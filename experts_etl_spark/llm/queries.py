@@ -1767,3 +1767,90 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = d.filter(F.col("doc_id") % 10 == 7)
     index = d.filter(F.col("doc_id") % 10 != 7)
     return incremental_lsh_dedup(index, new_batch, "text", "doc_id", 0.5)
+
+
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS ({_JACCARD}),
+    truth AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+    found AS (SELECT c.id1, c.id2 FROM cands c JOIN truth t USING (id1, id2))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM truth) AS DOUBLE), 1.0) AS recall,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE), 1.0) AS precision
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest measurement for the dedup scale path (the ann_recall
+    pattern applied to text): MinHash-LSH banding's candidate recall
+    and precision against the EXACT shingle-Jaccard ≥0.5 truth set.
+    Recall tells you what the 4×4 banding misses (the S-curve's left
+    tail); precision tells you how much exact-verify work the bands
+    forward per true pair.  Both sides reuse the standalone operators,
+    so this query is also a cross-check that the banded path and the
+    exact path agree on the pairs they share."""
+    from experts_etl_spark.llm.dedup import (
+        band_stack,
+        ngram_jaccard_pairs,
+        signature_shingle_sets,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
+        .select("id1", "id2")
+        .localCheckpoint(eager=False)
+    )
+    bands = band_stack(
+        signature_shingle_sets(d, "text", "doc_id").drop("sh"), "doc_id"
+    )
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    found = cands.join(truth, ["id1", "id2"])
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_truth")
+    )
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_candidates")
+    )
+    n_found = found.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_found")
+    )
+    return (
+        n_truth.crossJoin(n_cands)
+        .crossJoin(n_found)
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            (
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_truth").cast("double"), F.lit(1.0))
+            ).alias("recall"),
+            (
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_candidates").cast("double"), F.lit(1.0))
+            ).alias("precision"),
+        )
+    )

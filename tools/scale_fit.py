@@ -49,6 +49,7 @@ PACK = [
     "domain_mixture_sample",
     "training_corpus_pipeline",
     "dedup_incremental_ingest",
+    "dedup_lsh_recall",
 ]
 
 
