@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_token_stats",
     "dedup_incremental_ingest",
     "dedup_lsh_recall",
+    "multimodal_dedup",
 ]
 
 

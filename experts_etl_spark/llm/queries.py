@@ -1854,3 +1854,33 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "multimodal_dedup",
+    """
+    SELECT md5(text) AS content_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset dedup by content hash — the step a multimodal
+    pipeline runs BEFORE any decode: identical payload bytes (re-crawled
+    images, mirrored files) collapse on md5(payload) so the expensive
+    decode/feature stage runs once per distinct asset.  Pure
+    hash-groupBy on the JVM-computed digest, the exact_dedup shape on
+    bytes instead of normalized text; keep = min doc_id.  Payloads here
+    are the pack's deterministic utf-8 stand-ins
+    (llm/multimodal.py:with_binary_payload), so md5(utf-8 payload) ==
+    DuckDB's md5(text)."""
+    from experts_etl_spark.llm.multimodal import with_binary_payload
+
+    d = read_table(spark, sf_dir, "documents")
+    assets = with_binary_payload(d, "text", "doc_id")
+    return assets.groupBy(F.md5("payload").alias("content_md5")).agg(
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
