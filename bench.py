@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_incremental_ingest",
     "dedup_lsh_recall",
     "multimodal_dedup",
+    "vocab_topk",
+    "encode_token_ids",
 ]
 
 

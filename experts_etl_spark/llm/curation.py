@@ -253,3 +253,58 @@ def domain_mixture_sample(
         .filter(hk.cast("double") / F.lit(1000000.0) < F.col("rate"))
         .select(id_col, domain_col, "rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global positions (dense rank without a single-partition window)
+# ---------------------------------------------------------------------------
+
+def global_positions(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    pos_col: str = "pos",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global position in the total order given by
+    ``order`` ([(column, ascending), ...]) — computed DISTRIBUTED: a
+    bare global ``Window.orderBy`` coalesces every row into one
+    partition (the classic 100 TB driver-killer); this range-partitions
+    on the order columns, ranks within partitions, and adds each
+    partition's prefix-count offset (one bounded collect of
+    n_partitions rows, the bookmark-read pattern).  Positions depend
+    only on the TOTAL ORDER, not on where the sampled range boundaries
+    fall, so the sampled partitioner does not perturb the result; the
+    keyed frame is checkpointed so the counts pass and the rank pass
+    see the one same partitioning.  The order must be total (add a
+    unique tie-break column) or positions within ties are
+    partition-placement-dependent."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    exprs = [
+        F.col(c).asc() if ascending else F.col(c).desc()
+        for c, ascending in order
+    ]
+    keyed = (
+        df.repartitionByRange(n_parts, *exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+    acc = 0
+    offsets = []
+    for pid, c in sorted((r["_pid"], r["c"]) for r in counts.collect()):
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*exprs)
+    return (
+        keyed.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            pos_col,
+            (F.row_number().over(w) + F.col("_off")).cast("bigint"),
+        )
+        .drop("_pid", "_off")
+    )

@@ -1643,32 +1643,14 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries fall, so the sampled partitioner does not perturb the
     result; the keyed projection is checkpointed so the counts pass and
     the rank pass see the one same partitioning."""
-    from pyspark.sql import Window
+    from experts_etl_spark.llm.curation import global_positions
 
     d = read_table(spark, sf_dir, "documents")
     hk = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed = (
-        d.select("doc_id", hk.alias("hk"))
-        .repartitionByRange(n_parts, "hk", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    counts = keyed.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    acc = 0
-    offsets = []
-    for pid, c in sorted((r["pid"], r["c"]) for r in counts.collect()):
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets, "pid int, off long")
-    w = Window.partitionBy("pid").orderBy("hk", "doc_id")
-    return (
-        keyed.join(F.broadcast(off_df), "pid")
-        .select(
-            "doc_id",
-            (F.row_number().over(w) + F.col("off")).cast("bigint").alias("epoch_pos"),
-        )
-    )
+    keyed = d.select("doc_id", hk.alias("hk"))
+    return global_positions(
+        keyed, [("hk", True), ("doc_id", True)], pos_col="epoch_pos"
+    ).select("doc_id", "epoch_pos")
 
 
 @query(
@@ -1883,4 +1865,99 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.groupBy(F.md5("payload").alias("content_md5")).agg(
         F.min("doc_id").cast("bigint").alias("keep_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+@query(
+    "vocab_topk",
+    f"""
+    WITH tok AS (SELECT unnest({_W}) AS term FROM documents),
+    tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1)
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS term_id,
+           CAST(freq AS BIGINT) AS freq
+    FROM tf WHERE freq >= 2
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (term → dense id, min_count=2) — the
+    tokenizer-training precursor.  Counting is the linear two-stage agg;
+    the dense id rank runs through the DISTRIBUTED global-position
+    helper (llm/curation.py:global_positions) rather than a
+    single-partition window: a 100 TB corpus easily carries 10⁸+
+    distinct terms, which is exactly the 'vocab is small, a global sort
+    is fine' assumption failing.  Tie-break on the term itself keeps the
+    order total and cross-engine stable."""
+    from experts_etl_spark.llm.curation import global_positions
+
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    return global_positions(
+        tf, [("freq", False), ("term", True)], pos_col="term_id"
+    ).select("term", "term_id", F.col("freq").cast("bigint").alias("freq"))
+
+
+@query(
+    "encode_token_ids",
+    f"""
+    WITH base AS (SELECT doc_id, {_W} AS w FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
+      FROM base
+    ),
+    tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS term_id
+      FROM tf WHERE freq >= 2
+    )
+    SELECT doc_id,
+           list(coalesce(v.term_id, 0) ORDER BY pos) AS ids,
+           CAST(count(*) FILTER (WHERE v.term_id IS NULL) AS BIGINT) AS n_oov
+    FROM tok LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id
+    """,
+)
+def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding: every document becomes its position-ordered
+    array of vocabulary ids (OOV → 0), the input layout for
+    sequence_packing.  Shape: posexplode → broadcast join against the
+    vocab dim (the id table is dimension-sized next to the token
+    stream) → per-doc ordered re-assembly via collect_list(struct) +
+    array_sort — one shuffle keyed on doc_id, no single-partition
+    anything.  Cost is linear in token count, the same as the scan."""
+    from experts_etl_spark.llm.curation import global_positions
+
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = d.select(F.col("doc_id"), F.posexplode(w).alias("pos", "term"))
+    tf = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    vocab = global_positions(
+        tf, [("freq", False), ("term", True)], pos_col="term_id"
+    ).select("term", "term_id")
+    joined = tok.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("term_id"), F.lit(0)).cast("bigint").alias("tid"),
+        F.col("term_id").isNull().alias("oov"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("ids"),
+        F.sum(F.col("oov").cast("long")).cast("bigint").alias("n_oov"),
     )

@@ -50,6 +50,8 @@ PACK = [
     "training_corpus_pipeline",
     "dedup_incremental_ingest",
     "dedup_lsh_recall",
+    "vocab_topk",
+    "encode_token_ids",
 ]
 
 
