@@ -81,12 +81,15 @@ def connected_components(
         prev_sum = cur_sum
     else:
         # Partially-propagated labels would split true clusters and let
-        # duplicates through SILENTLY — refuse instead.  Hitting this
-        # means the graph's diameter exceeds max_iter (not a near-dup
-        # shape); raise so the caller picks star-contraction rounds or
-        # a bigger budget.
+        # duplicates through SILENTLY — refuse instead.  The sum-probe
+        # needs one confirmation round past the last label change, so
+        # the budget covers graphs of diameter < max_iter (with the
+        # min-neighbour seeding, roughly diameter + 1 rounds total);
+        # hitting this means the graph is not a near-dup shape — pick
+        # star-contraction rounds or raise max_iter.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+            f"connected_components found no confirmed fixpoint within "
+            f"{max_iter} rounds (budget must exceed graph diameter + 1)"
         )
     return labels
 
@@ -152,8 +155,11 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     aggregations partition by doc-prefixed keys, map-side partials do
     most of the reduction (gram counts are tiny ints), and nothing is
     quadratic — cost is linear in token count, the same as a scan."""
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toks = df.select(F.col(id_col), F.posexplode(w).alias("pos", "word"))
+    from experts_etl_spark.llm.text import words
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    )
     ord_w = Window.partitionBy(id_col).orderBy("pos")
     # Materialized once: the word- and bigram-count branches would each
     # re-scan the source and re-run the per-doc sort otherwise.

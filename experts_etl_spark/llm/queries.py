@@ -1785,7 +1785,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this query is also a cross-check that the banded path and the
     exact path agree on the pairs they share."""
     from experts_etl_spark.llm.dedup import (
-        band_stack,
+        lsh_candidates,
         ngram_jaccard_pairs,
         signature_shingle_sets,
     )
@@ -1796,19 +1796,12 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
         .localCheckpoint(eager=False)
     )
-    bands = band_stack(
+    # THE production candidate path, not a re-implementation: recall
+    # measured here is the recall of what minhash_lsh_dedup actually
+    # runs (same banding code, same caps).
+    cands = lsh_candidates(
         signature_shingle_sets(d, "text", "doc_id").drop("sh"), "doc_id"
-    )
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     found = cands.join(truth, ["id1", "id2"])
     n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select(
         F.col("n").alias("n_truth")
@@ -1892,11 +1885,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     tf = (
-        d.select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("term")
-        )
+        d.select(F.explode(T.words(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 2)
@@ -1938,8 +1927,9 @@ def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.llm.curation import global_positions
 
     d = read_table(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    tok = d.select(F.col("doc_id"), F.posexplode(w).alias("pos", "term"))
+    tok = d.select(
+        F.col("doc_id"), F.posexplode(T.words(F.col("text"))).alias("pos", "term")
+    )
     tf = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1948,7 +1938,10 @@ def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = global_positions(
         tf, [("freq", False), ("term", True)], pos_col="term_id"
     ).select("term", "term_id")
-    joined = tok.join(F.broadcast(vocab), "term", "left").select(
+    # No forced broadcast: the vocab is dimension-sized at test scale
+    # but can reach 10^8+ terms on a real corpus (the premise of the
+    # distributed rank above) — let AQE pick broadcast vs shuffle join.
+    joined = tok.join(vocab, "term", "left").select(
         "doc_id",
         "pos",
         F.coalesce(F.col("term_id"), F.lit(0)).cast("bigint").alias("tid"),

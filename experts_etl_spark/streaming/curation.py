@@ -89,25 +89,27 @@ def run_streaming_curation(
                 > 1,
             )
         )
-        # Probe the kept corpus through Spark, not os.path: keep_dir may
-        # be an object-store/HDFS URI where a POSIX check is always
-        # False and would silently disable cross-batch dedup (the
-        # overwrite_partitions remote-path rule, sources/sinks.py).
-        try:
-            # Exclude THIS batch's own partition: an at-least-once
-            # replay of batch N must not read its first attempt's rows
-            # and self-reject everything as 'duplicate' (which would
-            # then overwrite the keep partition with nothing).
-            kept_fps = (
-                spark_b.read.parquet(keep_dir)
-                .filter(F.col("batch_id") != F.lit(batch_id))
-                .select("fp")
-                .distinct()
-            )
-            have_corpus = True
-        except Exception:  # AnalysisException: path does not exist yet
-            have_corpus = False
+        # Probe the kept corpus via the Hadoop FileSystem API: works on
+        # object-store/HDFS URIs (os.path is always False there) and —
+        # unlike a broad try/except around the read — keeps the dedup
+        # gate FAIL-CLOSED: only "path not there yet" skips the probe;
+        # a real read error (corrupt file, transient store failure)
+        # propagates instead of silently admitting duplicates.
+        jvm = spark_b._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(keep_dir)
+        fs = hpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        have_corpus = fs.exists(hpath)
         if have_corpus:
+            kept = spark_b.read.parquet(keep_dir)
+            if "batch_id" in kept.columns:
+                # Exclude THIS batch's own partition: an at-least-once
+                # replay of batch N must not read its first attempt's
+                # rows and self-reject everything as 'duplicate' (which
+                # would then overwrite the keep partition with nothing).
+                kept = kept.filter(F.col("batch_id") != F.lit(batch_id))
+            # else: legacy flat layout (pre-batch_id module) — all rows
+            # are prior batches by construction, nothing to exclude.
+            kept_fps = kept.select("fp").distinct()
             staged = staged.join(
                 kept_fps.withColumn("dup_in_corpus", F.lit(True)),
                 "fp",

@@ -52,6 +52,7 @@ PACK = [
     "dedup_lsh_recall",
     "vocab_topk",
     "encode_token_ids",
+    "multimodal_dedup",
 ]
 
 
