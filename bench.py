@@ -170,21 +170,32 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t0, 3)
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plans": plans,
-                "cold_total_sec": round(cold, 3),
-                "wall_sec": wall,
-                "errors": errors,
-                "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "plans": plans,
+            "cold_total_sec": round(cold, 3),
+            "wall_sec": wall,
+            "errors": errors,
+            "sf": float(sf_match.group(1).rstrip(".")) if sf_match else None,
+        }
     )
+    print(payload)
+    # Stdout capture can truncate (BENCH_r04.json kept only the tail →
+    # "parsed: null"); the file copy preserves the full per-query map
+    # regardless of how the caller buffers our output.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the benchmark itself
     spark.stop()
 
 

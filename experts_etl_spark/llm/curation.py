@@ -37,9 +37,14 @@ def connected_components(
     SoCC'14) on constant factors; for high-diameter graphs (road
     networks, web link graphs) swap the loop body for star rounds.
     Per-round eager ``localCheckpoint`` truncates lineage — without it
-    the plan doubles every iteration; the convergence probe rides the
-    monotone label sum (labels only ever decrease), so each round costs
-    exactly one scalar action.
+    the plan doubles every iteration; the convergence probe counts the
+    labels that DECREASED this round (labels are monotone), so each
+    round costs exactly one scalar action.  A label-SUM probe would
+    overflow: 60-bit hash ids summed over a corpus blow past int64 —
+    ANSI mode throws mid-iteration, non-ANSI wraps silently with a
+    nonzero chance of a false fixpoint.  The changed-count is a sum of
+    0/1 ints, bounded by the row count, and is an exact change
+    detector, so convergence needs no confirmation round.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -58,38 +63,42 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
-    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = (
+        upd = (
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", "comp")
                 ).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint()  # eager: truncate lineage each round
         )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = upd.agg(
+            F.sum(F.col("_chg").cast("long"))
+        ).collect()[0][0]
+        labels = upd.drop("_chg")
+        if not changed:
             break
-        prev_sum = cur_sum
     else:
         # Partially-propagated labels would split true clusters and let
-        # duplicates through SILENTLY — refuse instead.  The sum-probe
-        # needs one confirmation round past the last label change, so
-        # the budget covers graphs of diameter < max_iter (with the
-        # min-neighbour seeding, roughly diameter + 1 rounds total);
+        # duplicates through SILENTLY — refuse instead.  changed==0 is
+        # an exact fixpoint witness (no label moved this round), so the
+        # budget covers graphs of diameter ≤ max_iter (with the
+        # min-neighbour seeding, roughly diameter rounds total);
         # hitting this means the graph is not a near-dup shape — pick
         # star-contraction rounds or raise max_iter.
         raise RuntimeError(
             f"connected_components found no confirmed fixpoint within "
-            f"{max_iter} rounds (budget must exceed graph diameter + 1)"
+            f"{max_iter} rounds (budget must exceed graph diameter)"
         )
     return labels
 
@@ -288,7 +297,13 @@ def global_positions(
 
     spark = df.sparkSession
     if n_parts is None:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # The conf can be the literal string "auto" (Databricks AQE) —
+        # fall back to the frame's own partition count rather than
+        # ValueError-ing on a platform default we don't control.
+        try:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:
+            n_parts = df.rdd.getNumPartitions() or 32
     exprs = [
         F.col(c).asc() if ascending else F.col(c).desc()
         for c, ascending in order

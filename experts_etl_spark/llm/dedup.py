@@ -474,25 +474,44 @@ def signature_shingle_sets(
 
 
 def incremental_lsh_dedup(
-    index_df: DataFrame,
+    index_df: DataFrame | None,
     new_df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float,
+    index_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash-LSH: match a NEW ingest batch against an
     existing INDEX corpus — the daily 100 TB pattern (dedupe today's
     crawl against everything already kept) where re-running the full
     self-join would re-pay the whole corpus every day.
 
-    Shape: the index side's signature table is computed once (in
-    production: read from the signature store this function's
-    aggregation mirrors) and ONLY its band-key-matched slice joins the
-    new batch's bands — cost tracks |new| + matched-band volume, never
-    |index|².  Verify is exact Jaccard on candidate pairs only, same as
-    :func:`minhash_lsh_dedup`.  Returns (new_id, index_id, jaccard) for
-    pairs at or above ``threshold`` — the new documents to reject."""
-    sig_i = signature_shingle_sets(index_df, text_col, id_col)
+    Pass ``index_signatures`` — a persisted
+    :func:`signature_shingle_sets` output (id, h0..h{n-1}, sh) — to skip
+    the index-side aggregation entirely; this is the signature-store
+    path that makes the per-batch cost genuinely track |new| + the
+    matched-band volume.  Without it the index signatures are derived
+    from ``index_df`` on each call, which re-pays an |index|-sized
+    aggregation per ingest (correct, but only sensible for one-off
+    runs).  ``index_df`` may be ``None`` when signatures are supplied.
+
+    Shape: ONLY the index signature table's band-key-matched slice joins
+    the new batch's bands — never |index|².  Verify is exact Jaccard on
+    candidate pairs only, same as :func:`minhash_lsh_dedup`.  Returns
+    (new_id, index_id, jaccard) for pairs at or above ``threshold`` —
+    the new documents to reject."""
+    if index_signatures is not None:
+        missing = {id_col, "sh"} - set(index_signatures.columns)
+        if missing:
+            raise ValueError(
+                f"index_signatures lacks columns {sorted(missing)}; expected "
+                f"the signature_shingle_sets layout"
+            )
+        sig_i = index_signatures
+    elif index_df is None:
+        raise ValueError("provide index_df or index_signatures")
+    else:
+        sig_i = signature_shingle_sets(index_df, text_col, id_col)
     sig_n = signature_shingle_sets(new_df, text_col, id_col)
     bands_i = band_stack(sig_i.drop("sh"), id_col)
     bands_n = band_stack(sig_n.drop("sh"), id_col)

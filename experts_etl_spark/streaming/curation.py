@@ -29,6 +29,7 @@ def run_streaming_curation(
     checkpoint_dir: str,
     quality_min: float = 0.5,
     max_files_per_trigger: int | None = None,
+    fp_dir: str | None = None,
 ) -> None:
     """Drain ``src`` (``availableNow``) routing every document to keep
     or reject with a recorded reason.
@@ -39,13 +40,20 @@ def run_streaming_curation(
        map/agg — ``llm/text.py:quality_score``,
        ``llm/curation.py:repetition_metrics``);
     2. PII redaction of the kept text (pure map);
-    3. in-batch exact dedup (first by doc_id keeps, W9 shape);
-    4. cross-batch exact dedup: anti-join the batch's fingerprints
-       against the KEPT corpus's fingerprint column — column-pruned
-       scan of one string column; a production deployment persists the
-       fingerprint set as its own compact table (the signature-store
-       pattern, llm/dedup.py:signature_shingle_sets) so per-tick cost
-       tracks the batch, not the archive.
+    3. in-batch exact dedup: one keeper per fingerprint, W9 keep-best
+       shape — GATE-SURVIVING copies rank first (then doc_id), so a
+       low-quality copy can never shadow a kept-eligible one out of the
+       corpus; the batch funnel (training_corpus_pipeline) gets the
+       same best-member election by running gates before dedup;
+    4. cross-batch exact dedup against the compact FINGERPRINT SIDE
+       TABLE (``fp_dir``, default ``<keep_dir>/_fingerprints`` —
+       underscore-prefixed so corpus reads of ``keep_dir`` never see
+       it), appended one partition per batch.  Per-tick probe cost
+       tracks the fingerprint table (one string column, a few % of the
+       corpus bytes), not the text archive — the signature-store
+       pattern (llm/dedup.py:incremental_lsh_dedup).  A legacy
+       ``keep_dir`` without a side table is backfilled once from the
+       kept corpus (batch_id=-1) and probed compactly thereafter.
 
     Ordering note: reasons are assigned first-match (quality →
     repetition → duplicate), so a low-quality copy of a kept doc
@@ -54,6 +62,9 @@ def run_streaming_curation(
     """
     from experts_etl_spark.llm.curation import redact_pii, repetition_metrics
     from experts_etl_spark.llm.text import fingerprint, quality_score
+
+    if fp_dir is None:
+        fp_dir = os.path.join(keep_dir, "_fingerprints")
 
     reader = spark.readStream.schema(_documents_schema(spark, src))
     if max_files_per_trigger is not None:
@@ -76,40 +87,70 @@ def run_streaming_curation(
         )
         from pyspark.sql import Window
 
+        # Gate-pass flag BEFORE the dedup window: ranking duplicates by
+        # (eligible desc, doc_id) guarantees the keeper of a fingerprint
+        # group is a gate-surviving copy whenever one exists — ranked by
+        # doc_id alone, a rejected low-quality copy with the smaller id
+        # would win the row_number, get rejected 'low_quality', and the
+        # passing copy would be rejected 'duplicate': the content lost
+        # entirely, diverging from the batch funnel's gates-before-dedup
+        # order.
+        eligible = (
+            F.col("quality").isNotNull()
+            & (F.col("quality") >= F.lit(quality_min))
+            & ~F.col("repetitive")
+        )
         staged = (
             scored.join(rep, "doc_id", "left")
             .withColumn(
                 "repetitive", F.coalesce("repetitive", F.lit(False))
             )
+            .withColumn("_eligible", eligible)
             .withColumn(
                 "dup_in_batch",
                 F.row_number().over(
-                    Window.partitionBy("fp").orderBy("doc_id")
+                    Window.partitionBy("fp").orderBy(
+                        F.col("_eligible").desc(), "doc_id"
+                    )
                 )
                 > 1,
             )
+            .drop("_eligible")
         )
-        # Probe the kept corpus via the Hadoop FileSystem API: works on
-        # object-store/HDFS URIs (os.path is always False there) and —
-        # unlike a broad try/except around the read — keeps the dedup
-        # gate FAIL-CLOSED: only "path not there yet" skips the probe;
-        # a real read error (corrupt file, transient store failure)
-        # propagates instead of silently admitting duplicates.
+        # Probe the fingerprint side table via the Hadoop FileSystem
+        # API: works on object-store/HDFS URIs (os.path is always False
+        # there) and — unlike a broad try/except around the read — keeps
+        # the dedup gate FAIL-CLOSED: only "path not there yet" skips
+        # the probe; a real read error (corrupt file, transient store
+        # failure) propagates instead of silently admitting duplicates.
         jvm = spark_b._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(keep_dir)
-        fs = hpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
-        have_corpus = fs.exists(hpath)
-        if have_corpus:
-            kept = spark_b.read.parquet(keep_dir)
-            if "batch_id" in kept.columns:
+        hconf = spark_b._jsc.hadoopConfiguration()
+        fp_path = jvm.org.apache.hadoop.fs.Path(fp_dir)
+        keep_path = jvm.org.apache.hadoop.fs.Path(keep_dir)
+        fs = fp_path.getFileSystem(hconf)
+        if fs.exists(fp_path):
+            kept_fps = spark_b.read.parquet(fp_dir)
+        elif fs.exists(keep_path):
+            # Legacy keep_dir predating the side table: backfill it once
+            # from the kept corpus (batch_id=-1 never collides with a
+            # real micro-batch id), then probe compactly forever after.
+            legacy = spark_b.read.parquet(keep_dir).select("fp").distinct()
+            legacy.write.mode("overwrite").parquet(
+                os.path.join(fp_dir, "batch_id=-1")
+            )
+            kept_fps = spark_b.read.parquet(fp_dir)
+        else:
+            kept_fps = None
+        if kept_fps is not None:
+            if "batch_id" in kept_fps.columns:
                 # Exclude THIS batch's own partition: an at-least-once
                 # replay of batch N must not read its first attempt's
                 # rows and self-reject everything as 'duplicate' (which
                 # would then overwrite the keep partition with nothing).
-                kept = kept.filter(F.col("batch_id") != F.lit(batch_id))
-            # else: legacy flat layout (pre-batch_id module) — all rows
-            # are prior batches by construction, nothing to exclude.
-            kept_fps = kept.select("fp").distinct()
+                kept_fps = kept_fps.filter(
+                    F.col("batch_id") != F.lit(batch_id)
+                )
+            kept_fps = kept_fps.select("fp").distinct()
             staged = staged.join(
                 kept_fps.withColumn("dup_in_corpus", F.lit(True)),
                 "fp",
@@ -132,7 +173,7 @@ def run_streaming_curation(
             .when(F.col("dup_in_batch") | F.col("dup_in_corpus"), "duplicate")
         )
         staged = staged.withColumn("reject_reason", reason).localCheckpoint(
-            eager=True  # one pass feeds both sinks; lineage reads keep_dir
+            eager=True  # one pass feeds all three sinks; lineage reads fp_dir
         )
         redacted, _ = redact_pii(F.col("text"))
         # Idempotent under at-least-once foreachBatch replays: each
@@ -152,6 +193,18 @@ def run_streaming_curation(
             )
             .write.mode("overwrite")
             .parquet(os.path.join(keep_dir, f"batch_id={batch_id}"))
+        )
+        # Append this batch's kept fingerprints to the compact side
+        # table — the next batch's cross-batch probe reads ONLY this
+        # one-column table, so per-tick cost tracks accumulated
+        # fingerprints, not the text archive.  Same overwrite-own-
+        # partition idempotency as the keep/reject sinks.
+        (
+            staged.filter(F.col("reject_reason").isNull())
+            .select("fp")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(fp_dir, f"batch_id={batch_id}"))
         )
         (
             staged.filter(F.col("reject_reason").isNotNull())
