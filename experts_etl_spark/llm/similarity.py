@@ -7,16 +7,57 @@ and therefore bit-identical in any engine.  No transcendentals.
 
 Scale design: brute-force top-k is the correctness baseline (fine for a
 broadcastable probe set); the SRP-bucketed variant blocks the candidate
-join on an 8-bit sign-random-projection bucket so the pair space stays
-linear in corpus size — the IVF-style scale path.
+join on a sign-random-projection bucket so the pair space stays linear
+in corpus size — the IVF-style scale path.
+
+SELF-SCALING blocking parameters: per-bucket pair work is ~n²/2^bits
+and per-cell IVF work ~ (n/nlist)·n_probe-side, so FIXED knobs go
+superlinear as the corpus grows (measured: 3× data → 3.9-5.4× cost at
+8 bits / stride 37, vs 2.3-3.9× with scaled knobs — SCALE.md).  The
+defaults therefore derive from the corpus row count — one cheap
+column-pruned ``count()`` —  via integer-exact rules any engine can
+reproduce (no float log/round at a .5 boundary):
+
+- SRP bits  = clamp(bit_length(n // target_occupancy), 4, 16)
+  ≈ log2(n / occupancy): expected bucket occupancy stays ~constant, so
+  per-bucket pair work stays ~linear in n.
+- IVF cent_mod = max(2, isqrt(n)) → nlist ≈ √n, the classic IVF
+  balance point (assignment cost n·√n, per-cell scan n/√n).
+
+Callers with a pinned external contract (a stored index, a golden
+oracle) pass explicit values; everything else gets the scaled default.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANT = 1e7
+
+
+def auto_srp_bits(
+    n_rows: int, occupancy: int = 8, lo: int = 4, hi: int = 16
+) -> int:
+    """SRP bucket width for a corpus of ``n_rows`` vectors: keeps the
+    expected bucket occupancy near ``occupancy`` so the bucketed
+    self-join stays linear.  Integer-exact (bit_length, no log/round)
+    so a SQL oracle reproduces it bit-for-bit:
+    ``least(greatest(length(bin(n // occupancy)), lo), hi)``.  ``hi``
+    also bounds the Hamming-1 multi-probe fan-out (bits+1 probes) and
+    must not exceed the embedding dimension."""
+    return min(max((n_rows // occupancy).bit_length(), lo), hi)
+
+
+def auto_cent_mod(n_rows: int) -> int:
+    """IVF centroid stride for a corpus of ``n_rows`` vectors:
+    nlist ≈ √n (stride = isqrt(n)).  floor(sqrt(·)) matches SQL
+    ``floor(sqrt(n))`` exactly for any realistic count (IEEE sqrt is
+    correctly rounded; the nearest half-integer boundary is unreachable
+    for integer n)."""
+    return max(2, math.isqrt(n_rows))
 
 
 def quantize(vec: Column) -> Column:
@@ -99,19 +140,23 @@ def bucketed_near_dup(
     id_col: str,
     vec_col: str,
     threshold: float,
-    bits: int = 8,
+    bits: int | None = None,
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on the SRP bucket.
 
     Near-identical vectors share sign patterns, so true near-dups
     co-bucket with high probability; the join shuffles on the bucket
-    key — linear, not quadratic.  ``probe_hamming=1`` (default) also
-    probes every Hamming-1 neighbor bucket from the left side, catching
-    pairs split by a single sign boundary at (bits+1)× left-side
-    fan-out; each unordered pair still matches at most once because the
-    right side keeps its unique bucket and the id1<id2 filter
-    canonicalizes orientation."""
+    key — linear, not quadratic.  ``bits=None`` (default) self-scales
+    from the corpus count (:func:`auto_srp_bits`) so occupancy — and
+    with it per-bucket pair cost — stays flat as the corpus grows.
+    ``probe_hamming=1`` (default) also probes every Hamming-1 neighbor
+    bucket from the left side, catching pairs split by a single sign
+    boundary at (bits+1)× left-side fan-out; each unordered pair still
+    matches at most once because the right side keeps its unique bucket
+    and the id1<id2 filter canonicalizes orientation."""
+    if bits is None:
+        bits = auto_srp_bits(emb.count())
     q = with_quantized(emb, vec_col).select(
         F.col(id_col), F.col("_q"), F.col("_n2"),
         srp_bucket(F.col(vec_col), bits).alias("bucket"),
@@ -143,7 +188,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    centroid_stride: int = 37,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -152,12 +197,17 @@ def ivf_topk(
 
     Centroids are a deterministic corpus sample (``id % stride == 0``) —
     no trained k-means dependency, reproducible across engines; swap in
-    trained centroids without touching the plan.  Cell assignment is a
-    broadcast argmax over the centroid set (corpus never shuffles for
-    assignment); the candidate join shuffles on the cell id only.
+    trained centroids without touching the plan.  ``centroid_stride=
+    None`` (default) self-scales to isqrt(corpus count)
+    (:func:`auto_cent_mod`) so nlist ≈ √n — a fixed stride makes
+    centroid count ∝ n and assignment cost ~n²/stride.  Cell assignment
+    is a broadcast argmax over the centroid set (corpus never shuffles
+    for assignment); the candidate join shuffles on the cell id only.
     Recall improves with ``nprobe`` at linear cost — the classic IVF
     knob.  Pass ``centroids`` (cent_id, centq, centn2) to search through
     a TRAINED quantizer instead — e.g. :func:`kmeans_refined_centroids`."""
+    if centroids is None and centroid_stride is None:
+        centroid_stride = auto_cent_mod(emb.count())
     cents = centroids if centroids is not None else with_quantized(
         emb.filter(F.col(id_col) % centroid_stride == 0), vec_col
     ).select(
@@ -224,14 +274,17 @@ def ivf_topk(
 
 def bucketed_ann_topk(
     emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str, k: int,
-    bits: int = 8, probe_hamming: int = 1,
+    bits: int | None = None, probe_hamming: int = 1,
 ) -> DataFrame:
     """IVF/LSH-style ANN: candidates restricted to the probe's SRP
     bucket (plus, by default, its Hamming-1 neighbor buckets —
-    multi-probe), then exact cosine + top-k.  The expansion is
+    multi-probe), then exact cosine + top-k.  ``bits=None`` self-scales
+    from the corpus count (:func:`auto_srp_bits`).  The expansion is
     probe-side only ((bits+1)× a small broadcast set); a candidate can
     never appear twice for one probe because it owns exactly one
     bucket."""
+    if bits is None:
+        bits = auto_srp_bits(emb.count())
     cand = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col("_q").alias("cq"),
         F.col("_n2").alias("cn2"), srp_bucket(F.col(vec_col), bits).alias("bucket"),
@@ -260,14 +313,15 @@ def kmeans_refined_assign(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    cent_mod: int = 37,
+    cent_mod: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
     """IVF coarse quantizer refined by Lloyd iterations — deterministic
     and cross-engine exact.
 
     Init: every ``cent_mod``-th vector is a centroid (same deterministic
-    seed as :func:`ivf_topk`).  Each iteration assigns every vector to
+    seed as :func:`ivf_topk`; ``None`` self-scales to isqrt(corpus
+    count) — :func:`auto_cent_mod`).  Each iteration assigns every vector to
     its max-cosine centroid (broadcast centroids — the corpus never
     shuffles for scoring) and recomputes centroids ON THE INTEGER GRID:
     elementwise ``floor(sum/count)`` of the quantized coordinates.
@@ -309,11 +363,14 @@ def kmeans_refined_assign(
 
 
 def _kmeans_train(
-    emb: DataFrame, id_col: str, vec_col: str, cent_mod: int, iters: int
+    emb: DataFrame, id_col: str, vec_col: str, cent_mod: int | None,
+    iters: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: returns (quantized corpus, trained centroids
     (cent_id, cq, cn2)); see :func:`kmeans_refined_assign` for the
     determinism contract."""
+    if cent_mod is None:
+        cent_mod = auto_cent_mod(emb.count())
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("_q").alias("q"), F.col("_n2").alias("n2")
     )
@@ -361,7 +418,8 @@ def _kmeans_train(
 
 
 def kmeans_refined_centroids(
-    emb: DataFrame, id_col: str, vec_col: str, cent_mod: int = 37, iters: int = 2
+    emb: DataFrame, id_col: str, vec_col: str,
+    cent_mod: int | None = None, iters: int = 2
 ) -> DataFrame:
     """Trained quantizer for :func:`ivf_topk`: (cent_id, centq, centn2)."""
     _, cents = _kmeans_train(emb, id_col, vec_col, cent_mod, iters)

@@ -1,15 +1,19 @@
 #!/usr/bin/env python
-"""Two-point scale fit for the dedup/ANN pack (VERDICT r3 item 9).
+"""Multi-point scale fit for the dedup/ANN pack (VERDICT r3 item 9;
+third decade point added per VERDICT r4 item 3 — superlinear terms
+hide at 3×).
 
-Generates 1× and 3× LLM-pack inputs from ONE deterministic generator
-(tools/gen_scaledata.py) and times each pack query at both sizes —
-min-of-three-warm-runs, same estimator as bench.py.  The printed ratio
-is the empirical cost exponent evidence: a blocked/linear operator
-should land near 3× (data grew 3×); an accidentally quadratic one
-shows ~9×.  Queries fail independently (bench.py's isolation rule): a
-broken query records an error and the rest of the fit survives.
+Generates 1×/3×/9× LLM-pack inputs from ONE deterministic generator
+(tools/gen_scaledata.py) and times each pack query at every size —
+min-of-three-warm-runs, same estimator as bench.py.  ``ratio3``/
+``ratio9`` are the empirical cost growth vs 1× (ideal = the data
+growth, 3 and 9); ``exp`` is the fitted log-log slope across all
+points — a blocked/linear operator lands near 1.0, an accidentally
+quadratic one near 2.0.  Queries fail independently (bench.py's
+isolation rule): a broken query records an error and the rest of the
+fit survives.
 
-Usage: python tools/scale_fit.py [--out SCALE_FIT.json]
+Usage: python tools/scale_fit.py [--out SCALE_FIT.json] [--mults 1,3,9]
 """
 
 from __future__ import annotations
@@ -61,7 +65,12 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--docs1", type=int, default=5000)
     ap.add_argument("--vecs1", type=int, default=2000)
+    ap.add_argument("--mults", default="1,3,9")
     args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    assert mults[0] == 1, "the first multiplier must be the 1x base"
+
+    import math
 
     from experts_etl_spark.plans.registry import QUERIES
     from experts_etl_spark.session import get_spark
@@ -70,7 +79,7 @@ def main() -> None:
     spark = get_spark("scale_fit")
     root = tempfile.mkdtemp(prefix="scale_fit_")
     dirs = {}
-    for mult in (1, 3):
+    for mult in mults:
         d = f"{root}/x{mult}"
         generate(d, docs=args.docs1 * mult, vecs=args.vecs1 * mult, seed=42, mode="uniform")
         dirs[mult] = d
@@ -88,12 +97,29 @@ def main() -> None:
                     fn(spark, d).count()
                     times.append(time.time() - t0)
                 row[f"t{mult}x"] = round(min(times), 3)
-            row["ratio"] = (
-                round(row["t3x"] / row["t1x"], 2) if row["t1x"] > 0 else None
-            )
+            if row["t1x"] > 0:
+                for mult in mults[1:]:
+                    row[f"ratio{mult}"] = round(row[f"t{mult}x"] / row["t1x"], 2)
+                # Fitted log-log slope over all points (least squares
+                # through the measured (log mult, log time) pairs):
+                # ~1.0 = linear in data, ~2.0 = quadratic.
+                pts = [
+                    (math.log(m), math.log(row[f"t{m}x"]))
+                    for m in mults
+                    if row[f"t{m}x"] > 0
+                ]
+                if len(pts) >= 2:
+                    mx = sum(p[0] for p in pts) / len(pts)
+                    my = sum(p[1] for p in pts) / len(pts)
+                    den = sum((p[0] - mx) ** 2 for p in pts)
+                    if den > 0:
+                        row["exp"] = round(
+                            sum((p[0] - mx) * (p[1] - my) for p in pts) / den, 2
+                        )
             print(
-                f"{name:32s} 1x={row['t1x']:7.3f}s 3x={row['t3x']:7.3f}s"
-                f" ratio={row['ratio']}"
+                f"{name:32s} "
+                + " ".join(f"{m}x={row[f't{m}x']:7.3f}s" for m in mults)
+                + f" exp={row.get('exp')}"
             )
         except Exception as exc:  # noqa: BLE001 — per-query isolation
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -105,6 +131,7 @@ def main() -> None:
     out = {
         "docs_1x": args.docs1,
         "vecs_1x": args.vecs1,
+        "mults": mults,
         "queries": results,
     }
     if args.out:
