@@ -66,6 +66,9 @@ HEADLINE = [
     "multimodal_dedup",
     "vocab_topk",
     "encode_token_ids",
+    # round-5 additions
+    "training_dedup_leakage",
+    "curation_stream_routing",
 ]
 
 

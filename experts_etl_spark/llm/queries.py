@@ -1472,10 +1472,11 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dms(d, "doc_id", "source", weight)
 
 
-@query(
-    "training_corpus_pipeline",
-    f"""
-    WITH RECURSIVE base AS (
+# Shared funnel prefix (gates → cluster-canonical dedup) for the
+# training_corpus_pipeline oracle and the training_dedup_leakage
+# honesty metric — one definition so the leakage oracle measures
+# EXACTLY the funnel it audits.
+_FUNNEL_CTES = f"""base AS (
       SELECT doc_id, text, lang, source, {_W} AS w FROM documents
     ),
     q AS (
@@ -1556,7 +1557,63 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.doc_id, g.lang, g.source, g.quality
       FROM gated g LEFT JOIN dup_losers dl ON g.doc_id = dl.doc_id
       WHERE dl.doc_id IS NULL
-    ),
+    )"""
+
+
+def _curation_funnel(
+    spark: SparkSession, sf_dir: str, keep_text: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Shared funnel prefix behind ``training_corpus_pipeline`` and
+    ``training_dedup_leakage``: Gopher repetition gate + quality gate
+    (≥0.5), then duplicate-CLUSTER removal among the survivors
+    (connected components over Jaccard-0.5 pairs, canonical = min
+    surviving id).  Returns (gated, kept); ``keep_text`` retains the
+    text column on ``kept`` (the leakage audit re-shingles the
+    survivors) at the cost of a wider checkpoint."""
+    from experts_etl_spark.llm.curation import (
+        repetition_metrics as rep,
+        resolve_clusters,
+    )
+    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=False)
+    )
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "text", "lang", "source", T.quality_score(t).alias("quality")
+    )
+    repetitive = rep(d, "text", "doc_id").select("doc_id", "repetitive")
+    gated = (
+        scored.join(repetitive, "doc_id")
+        .filter((F.col("quality") >= 0.5) & ~F.col("repetitive"))
+        .localCheckpoint(eager=False)
+    )
+    losers = (
+        resolve_clusters(ngram_jaccard_pairs(gated, "text", "doc_id", 0.5))
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    # kept feeds the mixture-rate agg, the rate filter join, and the
+    # final column-recovery join — materialize the narrow survivor set
+    # once or the pair-mining/anti-join subtree runs three times.
+    cols = ["doc_id", "lang", "source", "quality"]
+    if keep_text:
+        cols.append("text")
+    kept = (
+        gated.join(losers, "doc_id", "left_anti")
+        .select(*cols)
+        .localCheckpoint(eager=False)
+    )
+    return gated, kept
+
+
+@query(
+    "training_corpus_pipeline",
+    f"""
+    WITH RECURSIVE {_FUNNEL_CTES},
     counts AS (SELECT source, count(*) AS n_dom FROM kept GROUP BY 1),
     wtab AS (
       SELECT source,
@@ -1590,46 +1647,152 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     more, because it feeds pair mining, the loser anti-join, the
     mixture-rate aggregation, and the final join — four consumers whose
     differing exchanges Catalyst will not subtree-share."""
-    from experts_etl_spark.llm.curation import (
-        domain_mixture_sample as dms,
-        repetition_metrics as rep,
-        resolve_clusters,
-    )
-    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from experts_etl_spark.llm.curation import domain_mixture_sample as dms
 
-    d = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang", "source")
-        .localCheckpoint(eager=False)
-    )
-    t = F.col("text")
-    scored = d.select(
-        "doc_id", "text", "lang", "source", T.quality_score(t).alias("quality")
-    )
-    repetitive = rep(d, "text", "doc_id").select("doc_id", "repetitive")
-    gated = (
-        scored.join(repetitive, "doc_id")
-        .filter((F.col("quality") >= 0.5) & ~F.col("repetitive"))
-        .localCheckpoint(eager=False)
-    )
-    losers = (
-        resolve_clusters(ngram_jaccard_pairs(gated, "text", "doc_id", 0.5))
-        .filter(~F.col("is_canonical"))
-        .select("doc_id")
-    )
-    # kept feeds the mixture-rate agg, the rate filter join, and the
-    # final column-recovery join — materialize the narrow survivor set
-    # once or the pair-mining/anti-join subtree runs three times.
-    kept = (
-        gated.join(losers, "doc_id", "left_anti")
-        .select("doc_id", "lang", "source", "quality")
-        .localCheckpoint(eager=False)
-    )
+    _, kept = _curation_funnel(spark, sf_dir)
     weight = F.substring(F.col("source"), 4, 10).cast("bigint") % 4 + 1
     sampled = dms(kept, "doc_id", "source", weight)
     return kept.join(
         sampled.select("doc_id", "rate"), "doc_id"
     ).select("doc_id", "lang", "source", "quality", "rate")
+
+
+@query(
+    "training_dedup_leakage",
+    f"""
+    WITH RECURSIVE {_FUNNEL_CTES},
+    ksh AS (SELECT g.* FROM gsh g JOIN kept k USING (doc_id)),
+    ksizes AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY 1),
+    kinter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM ksh a JOIN ksh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    leaked AS (
+      SELECT id1, id2
+      FROM kinter
+      JOIN ksizes s1 ON id1 = s1.doc_id
+      JOIN ksizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM gated) AS n_gated,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM leaked) AS leaked_pairs,
+           CAST((SELECT count(*) FROM leaked) AS DOUBLE)
+             / CAST((SELECT count(*) FROM kept) AS DOUBLE) AS leakage_rate
+    """,
+)
+def training_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate-leakage audit of the curation funnel — the
+    ``dedup_lsh_recall`` honesty pattern applied to the WHOLE pipeline:
+    after gates + cluster-canonical dedup, how many Jaccard-0.5 pairs
+    SURVIVE among the kept documents?  The truth set is the exact
+    shingle-blocked Jaccard join over the survivors (no LSH, no
+    banding), so ``leaked_pairs`` is a real guarantee, not a sampled
+    estimate; connected-components removal makes 0 the expected value
+    (two kept docs at ≥0.5 would share an edge, hence a component,
+    hence one of them would have been dropped as non-canonical).
+
+    Scale shape: the audit re-runs the funnel's own blocked pair join
+    over the (strictly smaller) kept set — linear in shared-shingle
+    volume, same as the funnel itself; counts are scalar aggregates
+    crossJoined 1×1."""
+    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    gated, kept = _curation_funnel(spark, sf_dir, keep_text=True)
+    leaked = ngram_jaccard_pairs(kept, "text", "doc_id", 0.5)
+    n_gated = gated.agg(F.count(F.lit(1)).alias("n_gated"))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    n_leaked = leaked.agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    return (
+        n_gated.crossJoin(n_kept)
+        .crossJoin(n_leaked)
+        .select(
+            "n_gated",
+            "n_kept",
+            "leaked_pairs",
+            (
+                F.col("leaked_pairs").cast("double")
+                / F.col("n_kept").cast("double")
+            ).alias("leakage_rate"),
+        )
+    )
+
+
+@query(
+    "curation_stream_routing",
+    f"""
+    WITH base AS (SELECT doc_id, text, {_W} AS w FROM documents),
+    q AS (
+      SELECT doc_id,
+             (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.5
+             + (least(CAST(length(text) AS DOUBLE), 400.0) / 400.0) * 0.3
+             + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2 AS quality,
+             md5(array_to_string(w, ' ')) AS fp
+      FROM base
+    ),
+    toks AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM grams GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_c FROM wc GROUP BY 1
+    ),
+    bc AS (
+      SELECT doc_id, concat_ws(' ', word, nxt) AS bigram, count(*) AS c
+      FROM grams WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    bs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c FROM bc GROUP BY 1
+    ),
+    rep AS (
+      SELECT ws.doc_id,
+             (CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+             OR (coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) > 0.18)
+               AS repetitive
+      FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    ),
+    staged AS (
+      SELECT q.doc_id, q.quality, q.fp,
+             coalesce(rep.repetitive, FALSE) AS repetitive
+      FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY fp ORDER BY
+               (quality IS NOT NULL AND quality >= 0.5 AND NOT repetitive) DESC,
+               doc_id) > 1 AS dup_in_batch
+      FROM staged
+    )
+    SELECT doc_id, quality, repetitive, dup_in_batch,
+           CASE WHEN NOT (quality >= 0.5) OR quality IS NULL THEN 'low_quality'
+                WHEN repetitive THEN 'repetitive'
+                WHEN dup_in_batch THEN 'duplicate' END AS reject_reason
+    FROM rk
+    """,
+)
+def curation_stream_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming curation micro-batch: the SAME
+    ``route_documents`` function ``run_streaming_curation`` applies
+    per micro-batch (streaming/curation.py), run over the documents
+    table as one batch with no prior corpus — so this driver row
+    hash-proves the streaming path's routing semantics (quality gate →
+    Gopher repetition filter → gate-aware in-batch dedup → first-match
+    reject reason) against an independent SQL oracle."""
+    from experts_etl_spark.streaming.curation import route_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    return route_documents(d).select(
+        "doc_id", "quality", "repetitive", "dup_in_batch", "reject_reason"
+    )
 
 
 @query(

@@ -24,18 +24,50 @@ for mod in (reference_queries, llm_queries):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update(mod.ORACLES)
 
-# The 50 gated slots — ROTATED in round 4 (VERDICT r3 item 3).  Rounds
-# 2-3 gated an identical stable window whose 50 rows are all green in
-# CORRECTNESS_r02/r03; this round swaps in the 35 queries never gated
-# before plus 15 retained heavyweights (the multi-operator composites,
-# and every path touched by round-4 changes: the NTZ timestamp fix →
-# user_sessions/session_window_agg/tumbling_window_counts, SRP
-# multi-probe → ann_recall / *_bucketed).  Union of r02-r04 green rows
-# therefore covers all 85 queries registered at rotation time; the round-4 additions (training-pipeline,
-# curation, and stats queries) sit after the window
-# (local sf0.01+sf0.1 parity only) and rotate in next round.
+# The 50 gated slots — ROTATED in round 5 (VERDICT r4 item 1).  The
+# r2/r3 window and the r4 window are each fully green (50/50 in
+# CORRECTNESS_r02/r03/r04), so this round retires slots already proven
+# there and swaps in (a) the 17 round-4 additions that registered after
+# the r4 window (local sf0.001/0.01/0.1 parity only until now), (b) the
+# two NEW round-5 queries (funnel duplicate-leakage audit, streaming-
+# curation batch twin), (c) every path CHANGED in round 5 — the
+# self-scaled SRP/IVF knobs touch all six ANN queries, the CC
+# convergence-probe rewrite touches dedup_cluster_resolution /
+# training_corpus_pipeline, the signature-store param touches
+# dedup_incremental_ingest, the checkpoint swap touches
+# benchmark_contamination — and (d) ten r2/r3-window queries with no
+# driver row since round 3 (the stalest proofs).  Union of r02-r05
+# green rows then covers all 104 registered queries.
 GATE_ORDER = [
-    # --- retained composites / changed paths (green in r02+r03) --------
+    # --- round-4 additions, first driver rows (VERDICT r4 item 1) ------
+    "train_val_split",
+    "benchmark_contamination",   # + round-5 shared-subtree checkpoint
+    "tfidf_topk_terms",
+    "sequence_packing",
+    "stratified_sample",
+    "dedup_cluster_resolution",  # + round-5 overflow-free CC probe
+    "pii_redaction",
+    "repetition_metrics",
+    "domain_mixture_sample",
+    "training_corpus_pipeline",  # funnel e2e (CC probe path)
+    "epoch_shuffle",             # global_positions path
+    "corpus_token_stats",
+    "dedup_incremental_ingest",  # + round-5 signature-store param
+    "dedup_lsh_recall",
+    "multimodal_dedup",
+    "vocab_topk",                # global_positions path
+    "encode_token_ids",
+    # --- NEW round-5 queries -------------------------------------------
+    "training_dedup_leakage",    # funnel-level dup-leakage audit (item 6)
+    "curation_stream_routing",   # streaming-curation batch twin (item 8)
+    # --- ANN pack: all touched by the self-scaled knobs (item 2) -------
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_topk_ivf_refined",
+    "ann_ivf_kmeans",
+    "embedding_near_dup_bucketed",
+    "ann_recall",
+    # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5
     "existence_gates",          # J6 J9 C6 (merged)
@@ -47,50 +79,21 @@ GATE_ORDER = [
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
     "skew_tolerant_counts",     # salting / two-stage agg
     "dedup_minhash_lsh",
-    "ann_topk_ivf_refined",
-    "ann_recall",               # gains srp_multiprobe row this round
     "corpus_curation",
     "multimodal_metadata",
-    # --- rotated in: windows / sessions (NTZ-fix paths first) ----------
-    "user_sessions",            # sessionize over events — r3's broken headline
-    "session_window_agg",       # batch session_window (streaming twin)
-    "tumbling_window_counts",   # batch twin of streaming windowed counts
-    "event_run_groups",         # W2 gaps-and-islands single
-    "stint_splitting",          # W3 single
-    "job_end_dates",            # W6 single
-    "visibility_rollup",        # A10 single
-    # --- rotated in: snapshot / cdc singles -----------------------------
-    "snapshot_new_keys",        # X1
-    "snapshot_changed_rows",    # X2
-    "cdc_watermark",            # C1
-    "cdc_new_versions",         # C2
-    "gate_passed",              # J6
-    "gate_deferred",            # C6
-    # --- rotated in: scans / joins / functions --------------------------
-    "customers_per_nation",     # A6 broadcast-dim agg
-    "salted_dim_join",          # skew-salted join variant
-    "json_document_parse",      # S6
-    "json_roundtrip",           # F13
-    "uri_tails",                # F7
-    "slug_normalize",           # F8
-    # --- rotated in: hierarchy / serialization --------------------------
-    "tree_depths",              # G1
-    "tree_orphan_prune",        # G3
-    "xml_render",               # F14 scalar
+    "user_sessions",            # sessionize over events (bench headline)
     "person_sync_xml",          # F14 person template (bench headline)
-    "pure_person_sync_xml",     # F14 pure person template
-    "pure_organisation_sync_xml",  # F14 organisation template
-    "poi_jobs_transform",       # §3.4 poi variant
-    "affiliate_jobs_transform",  # §3.4 affiliate variant
-    # --- rotated in: LLM pack variants ----------------------------------
-    "lang_id_heuristic",
-    "token_count_by_lang",
-    "ann_topk_bruteforce",
-    "ann_topk_bucketed",        # gains multi-probe this round
-    "ann_topk_ivf",
-    "embedding_near_dup_bucketed",  # gains multi-probe this round
-    "multimodal_frame_sample",
-    "multimodal_decode_embed",
+    # --- stalest proofs: r2/r3 window, no row since round 3 ------------
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_winnow",
+    "text_quality_metrics",
+    "cdc_compaction",           # C3 C4 W7
+    "override_coalesce",        # J2 J3
+    "primary_event_election",   # A9 W8
+    "multi_format_dates",       # F1 F2 P6
+    "set_reconciliation",       # X3 A5
+    "error_counters",           # A7 F9
 ]
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 _missing = [n for n in GATE_ORDER if n not in _ALL_QUERIES]

@@ -21,6 +21,93 @@ def _documents_schema(spark: SparkSession, src: str):
     return spark.read.parquet(src).schema
 
 
+def route_documents(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    kept_fps: DataFrame | None = None,
+) -> DataFrame:
+    """The curation routing decision for one batch of documents — the
+    ONE code path behind both the streaming micro-batch (``curate`` in
+    :func:`run_streaming_curation`) and the registered batch twin
+    (``curation_stream_routing``), so a driver CORRECTNESS row on the
+    twin proves the streaming semantics.
+
+    Adds per-document: ``quality`` (llm/text.py:quality_score), ``fp``
+    (normalized content fingerprint), ``repetitive`` (Gopher rules,
+    llm/curation.py:repetition_metrics), ``dup_in_batch``,
+    ``dup_in_corpus`` (against ``kept_fps``, the compact fingerprint
+    side table; False when None), and the first-match
+    ``reject_reason`` (quality → repetition → duplicate; NULL = keep).
+
+    The in-batch dedup window ranks gate-SURVIVING copies first (then
+    doc_id) so a rejected low-quality copy can never shadow a
+    kept-eligible duplicate out of the corpus — the same best-member
+    election the batch funnel gets from running gates before dedup.
+    All doc-local maps + two doc-keyed aggregations + one fp-keyed
+    window — linear, no corpus-scale self-joins."""
+    from pyspark.sql import Window
+
+    from experts_etl_spark.llm.curation import repetition_metrics
+    from experts_etl_spark.llm.text import fingerprint, quality_score
+
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+    rep = repetition_metrics(docs, "text", "doc_id").select(
+        "doc_id", "repetitive"
+    )
+    eligible = (
+        F.col("quality").isNotNull()
+        & (F.col("quality") >= F.lit(quality_min))
+        & ~F.col("repetitive")
+    )
+    staged = (
+        scored.join(rep, "doc_id", "left")
+        .withColumn("repetitive", F.coalesce("repetitive", F.lit(False)))
+        .withColumn("_eligible", eligible)
+        .withColumn(
+            "dup_in_batch",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy(
+                    F.col("_eligible").desc(), "doc_id"
+                )
+            )
+            > 1,
+        )
+        .drop("_eligible")
+    )
+    if kept_fps is not None:
+        staged = staged.join(
+            kept_fps.select("fp").distinct().withColumn(
+                "dup_in_corpus", F.lit(True)
+            ),
+            "fp",
+            "left",
+        ).withColumn(
+            "dup_in_corpus", F.coalesce("dup_in_corpus", F.lit(False))
+        )
+    else:
+        staged = staged.withColumn("dup_in_corpus", F.lit(False))
+    # Fail CLOSED on null/unscorable text: quality_score(NULL) is NULL
+    # and `NULL < min` never matches a when-branch, which would route
+    # garbage rows to the keep sink.
+    reason = (
+        F.when(
+            ~(F.col("quality") >= quality_min) | F.col("quality").isNull(),
+            "low_quality",
+        )
+        .when(F.col("repetitive"), "repetitive")
+        .when(F.col("dup_in_batch") | F.col("dup_in_corpus"), "duplicate")
+    )
+    return staged.withColumn("reject_reason", reason)
+
+
 def run_streaming_curation(
     spark: SparkSession,
     src: str,
@@ -60,8 +147,7 @@ def run_streaming_curation(
     records ``low_quality``, mirroring the batch funnel's stage order
     (llm/queries.py:training_corpus_pipeline).
     """
-    from experts_etl_spark.llm.curation import redact_pii, repetition_metrics
-    from experts_etl_spark.llm.text import fingerprint, quality_score
+    from experts_etl_spark.llm.curation import redact_pii
 
     if fp_dir is None:
         fp_dir = os.path.join(keep_dir, "_fingerprints")
@@ -73,50 +159,6 @@ def run_streaming_curation(
 
     def curate(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
-        t = F.col("text")
-        scored = batch.select(
-            "doc_id",
-            "text",
-            "lang",
-            "source",
-            quality_score(t).alias("quality"),
-            fingerprint(t).alias("fp"),
-        )
-        rep = repetition_metrics(batch, "text", "doc_id").select(
-            "doc_id", "repetitive"
-        )
-        from pyspark.sql import Window
-
-        # Gate-pass flag BEFORE the dedup window: ranking duplicates by
-        # (eligible desc, doc_id) guarantees the keeper of a fingerprint
-        # group is a gate-surviving copy whenever one exists — ranked by
-        # doc_id alone, a rejected low-quality copy with the smaller id
-        # would win the row_number, get rejected 'low_quality', and the
-        # passing copy would be rejected 'duplicate': the content lost
-        # entirely, diverging from the batch funnel's gates-before-dedup
-        # order.
-        eligible = (
-            F.col("quality").isNotNull()
-            & (F.col("quality") >= F.lit(quality_min))
-            & ~F.col("repetitive")
-        )
-        staged = (
-            scored.join(rep, "doc_id", "left")
-            .withColumn(
-                "repetitive", F.coalesce("repetitive", F.lit(False))
-            )
-            .withColumn("_eligible", eligible)
-            .withColumn(
-                "dup_in_batch",
-                F.row_number().over(
-                    Window.partitionBy("fp").orderBy(
-                        F.col("_eligible").desc(), "doc_id"
-                    )
-                )
-                > 1,
-            )
-            .drop("_eligible")
-        )
         # Probe the fingerprint side table via the Hadoop FileSystem
         # API: works on object-store/HDFS URIs (os.path is always False
         # there) and — unlike a broad try/except around the read — keeps
@@ -141,38 +183,15 @@ def run_streaming_curation(
             kept_fps = spark_b.read.parquet(fp_dir)
         else:
             kept_fps = None
-        if kept_fps is not None:
-            if "batch_id" in kept_fps.columns:
-                # Exclude THIS batch's own partition: an at-least-once
-                # replay of batch N must not read its first attempt's
-                # rows and self-reject everything as 'duplicate' (which
-                # would then overwrite the keep partition with nothing).
-                kept_fps = kept_fps.filter(
-                    F.col("batch_id") != F.lit(batch_id)
-                )
-            kept_fps = kept_fps.select("fp").distinct()
-            staged = staged.join(
-                kept_fps.withColumn("dup_in_corpus", F.lit(True)),
-                "fp",
-                "left",
-            ).withColumn(
-                "dup_in_corpus", F.coalesce("dup_in_corpus", F.lit(False))
-            )
-        else:
-            staged = staged.withColumn("dup_in_corpus", F.lit(False))
-        # Fail CLOSED on null/unscorable text: quality_score(NULL) is
-        # NULL and `NULL < min` never matches a when-branch, which
-        # would route garbage rows to the keep sink.
-        reason = (
-            F.when(
-                ~(F.col("quality") >= quality_min)
-                | F.col("quality").isNull(),
-                "low_quality",
-            )
-            .when(F.col("repetitive"), "repetitive")
-            .when(F.col("dup_in_batch") | F.col("dup_in_corpus"), "duplicate")
-        )
-        staged = staged.withColumn("reject_reason", reason).localCheckpoint(
+        if kept_fps is not None and "batch_id" in kept_fps.columns:
+            # Exclude THIS batch's own partition: an at-least-once
+            # replay of batch N must not read its first attempt's
+            # rows and self-reject everything as 'duplicate' (which
+            # would then overwrite the keep partition with nothing).
+            kept_fps = kept_fps.filter(F.col("batch_id") != F.lit(batch_id))
+        staged = route_documents(
+            batch, quality_min, kept_fps
+        ).localCheckpoint(
             eager=True  # one pass feeds all three sinks; lineage reads fp_dir
         )
         redacted, _ = redact_pii(F.col("text"))

@@ -92,6 +92,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_recall",            # brute-force baseline + 1-row agg cross joins
         "tfidf_topk_terms",      # corpus-size scalar broadcast for idf
         "dedup_lsh_recall",      # 1-row count aggregates cross-joined
+        "training_dedup_leakage",  # 1-row count aggregates cross-joined
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))

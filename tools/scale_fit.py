@@ -57,6 +57,9 @@ PACK = [
     "vocab_topk",
     "encode_token_ids",
     "multimodal_dedup",
+    # round-5 additions
+    "training_dedup_leakage",
+    "curation_stream_routing",
 ]
 
 
