@@ -103,6 +103,76 @@ def write_single_xml(
     return n
 
 
+def write_single_xml_distributed(
+    df: DataFrame,
+    path: str,
+    xml_col: str,
+    order_by: Sequence[str],
+    header: str,
+    footer: str,
+    n_parts: int | None = None,
+) -> int:
+    """S7 at scale: the same ordered-single-file contract as
+    :func:`write_single_xml` (byte-equal output, pytest-pinned), with
+    render/sort/encode fully DISTRIBUTED and the driver doing only a
+    file-level byte concatenation — no row ever crosses the driver.
+
+    Shape: range-partition on the order keys (sampled partitioner →
+    balanced ranges), sort within partitions, write per-range text
+    parts in parallel, then stitch the parts in range order (part file
+    numbering IS the range order).  On an object store the stitch
+    becomes a storage-layer compose (S3 multipart copy-parts / GCS
+    compose) — zero driver bytes; this local implementation streams
+    fixed-size chunks, so driver memory is O(chunk), and counts
+    elements from the newlines it already copies.  The order keys must
+    form a total order (unique tie-break) for byte-equality with the
+    serial writer — the usual distributed-sort caveat.
+
+    The reference's own writer is serial by construction
+    (edw_to_pure/person.py:33-47 renders rows into one open file);
+    :func:`write_single_xml` matches that semantics-first, this
+    variant is the 100 TB story for the same sink."""
+    import glob
+    import shutil
+
+    spark = df.sparkSession
+    if n_parts is None:
+        try:
+            n_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except ValueError:  # e.g. the literal "auto" under Databricks AQE
+            n_parts = df.rdd.getNumPartitions() or 32
+    cols = [F.col(c) for c in order_by]
+    ordered = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .select(F.coalesce(F.col(xml_col), F.lit("")).alias("value"))
+    )
+    staging = path + ".parts"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    ordered.write.mode("overwrite").text(staging)
+    n = 0
+    with open(path, "wb") as out:
+        out.write(header.encode("utf-8"))
+        if not header.endswith("\n"):
+            out.write(b"\n")
+        for part in sorted(glob.glob(os.path.join(staging, "part-*"))):
+            with open(part, "rb") as src:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    n += chunk.count(b"\n")
+                    out.write(chunk)
+        out.write(footer.encode("utf-8"))
+        if not footer.endswith("\n"):
+            out.write(b"\n")
+    shutil.rmtree(staging)
+    return n
+
+
 def rotate_sync_files(
     directory: str, prefix: str, suffix: str = ".xml", keep: int = 5
 ) -> list[str]:

@@ -182,3 +182,66 @@ def test_incremental_ingest_matches_full_selfjoin_slice(spark):
         ).collect()
     }
     assert inc == full
+
+
+def test_incremental_ingest_signature_store_reuse(spark):
+    """A persisted signature table (the signature-store path) must give
+    identical pairs to deriving the index signatures from the raw
+    documents — and the API must refuse a call with neither input or a
+    malformed store."""
+    import pytest
+
+    from experts_etl_spark.llm.dedup import (
+        incremental_lsh_dedup,
+        signature_shingle_sets,
+    )
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    index = d.filter(F.col("doc_id") % 10 != 7)
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    derived = {
+        (r["new_id"], r["index_id"])
+        for r in incremental_lsh_dedup(
+            index, new, "text", "doc_id", 0.5
+        ).collect()
+    }
+    store = signature_shingle_sets(index, "text", "doc_id")
+    reused = {
+        (r["new_id"], r["index_id"])
+        for r in incremental_lsh_dedup(
+            None, new, "text", "doc_id", 0.5, index_signatures=store
+        ).collect()
+    }
+    assert reused == derived and len(reused) > 0
+    with pytest.raises(ValueError, match="index_df or index_signatures"):
+        incremental_lsh_dedup(None, new, "text", "doc_id", 0.5)
+    with pytest.raises(ValueError, match="signature_shingle_sets layout"):
+        incremental_lsh_dedup(
+            None, new, "text", "doc_id", 0.5,
+            index_signatures=store.drop("sh"),
+        )
+
+
+def test_route_documents_gate_aware_dedup_election(spark):
+    """Two copies sharing a fingerprint (fp is whitespace/case
+    normalized) that straddle the quality gate: the GATE-SURVIVING copy
+    must be kept even when the failing copy has the smaller doc_id.
+    Ranked by doc_id alone, the low-quality copy would win the dedup
+    window ('low_quality') and shadow the passing copy ('duplicate') —
+    losing the content entirely."""
+    from experts_etl_spark.streaming.curation import route_documents
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa the of"
+    compact = words                      # short raw text → quality < 0.5
+    padded = words + " " * 320           # same words → same fp; longer → ≥ 0.5
+    df = spark.createDataFrame(
+        [(1, compact, "en", "s0"), (2, padded, "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["doc_id"]: r for r in route_documents(df).collect()}
+    assert rows[1]["fp"] == rows[2]["fp"]          # the scenario is real
+    assert rows[1]["quality"] < 0.5 <= rows[2]["quality"]
+    assert rows[1]["reject_reason"] == "low_quality"
+    assert rows[2]["reject_reason"] is None        # kept, not 'duplicate'
+    assert not rows[2]["dup_in_batch"]

@@ -11,6 +11,7 @@ from experts_etl_spark.sources.serialization import (
     render_jinja_udf,
     rotate_sync_files,
     write_single_xml,
+    write_single_xml_distributed,
     xml_element,
     xml_escape,
 )
@@ -46,6 +47,47 @@ def test_write_single_xml_ordered(spark, tmp_path):
     assert n == 3
     lines = open(path).read().splitlines()
     assert lines == ["<persons>", "<p>1</p>", "<p>2</p>", "<p>3</p>", "</persons>"]
+
+
+def test_write_single_xml_distributed_byte_equal(spark, tmp_path):
+    """The distributed per-range-parts + ordered-concat writer must
+    produce byte-identical output to the serial toLocalIterator writer
+    (and the same element count) — including empty ranges, multi-part
+    layouts, and rows containing characters the text sink must not
+    mangle."""
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 37 % 500).alias("k"),
+            F.concat(
+                F.lit("<p a=\"x&amp;y\">"),
+                (F.col("id") * 37 % 500).cast("string"),
+                F.lit("</p>"),
+            ).alias("xml"),
+        )
+        .repartition(7)
+    )
+    serial = str(tmp_path / "serial.xml")
+    dist = str(tmp_path / "dist.xml")
+    n1 = write_single_xml(
+        df, serial, "xml", ["k"], header="<ps>", footer="</ps>"
+    )
+    n2 = write_single_xml_distributed(
+        df, dist, "xml", ["k"], header="<ps>", footer="</ps>", n_parts=5
+    )
+    assert n1 == n2 == 500
+    assert open(serial, "rb").read() == open(dist, "rb").read()
+    assert not os.path.exists(dist + ".parts")  # staging cleaned up
+
+
+def test_write_single_xml_distributed_empty(spark, tmp_path):
+    df = spark.createDataFrame([], "k int, xml string")
+    path = str(tmp_path / "empty.xml")
+    n = write_single_xml_distributed(
+        df, path, "xml", ["k"], header="<ps>", footer="</ps>", n_parts=3
+    )
+    assert n == 0
+    assert open(path).read().splitlines() == ["<ps>", "</ps>"]
 
 
 def test_rotate_sync_files_keeps_newest_and_symlinks(tmp_path):

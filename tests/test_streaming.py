@@ -383,6 +383,16 @@ def test_streaming_curation_routes_and_dedups_across_batches(spark, tmp_path):
     early_fps = kept.filter(F.col("doc_id") < 1000000).select("fp")
     overlap = shifted_kept.join(early_fps, "fp").count()
     assert overlap == 0
+    # the compact fingerprint side table exists (underscore-prefixed →
+    # invisible to the corpus read above), is partitioned per batch,
+    # and carries exactly the kept fingerprint set — the structure the
+    # per-tick probe reads instead of the text archive
+    fp_side = spark.read.parquet(os.path.join(keep, "_fingerprints"))
+    assert "batch_id" in fp_side.columns
+    assert fp_side.select("batch_id").distinct().count() > 1
+    side_fps = {r["fp"] for r in fp_side.select("fp").distinct().collect()}
+    kept_fps = {r["fp"] for r in kept.select("fp").distinct().collect()}
+    assert side_fps == kept_fps
 
 
 def test_streaming_curation_rejects_null_text_fail_closed(spark, tmp_path):
