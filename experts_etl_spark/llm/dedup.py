@@ -252,15 +252,23 @@ def lsh_candidates(
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame | None, text_col: str, id_col: str, threshold: float,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash→LSH→verify: candidates from banding, then exact Jaccard
     scored on the CANDIDATE PAIRS ONLY — two hash joins on doc id plus an
     ``array_intersect`` of the two shingle sets.  Cost is linear in the
     candidate count; the full shingle-blocked self-join
     (:func:`ngram_jaccard_pairs`) is the exact-but-quadratic-ish baseline
-    LSH exists to avoid."""
-    sigsets = signature_shingle_sets(df, text_col, id_col)
+    LSH exists to avoid.  Pass ``signatures`` (a
+    :func:`signature_shingle_sets` output) to skip the aggregation —
+    the signature-store path; ``df`` may be ``None`` then."""
+    if signatures is not None:
+        sigsets = signatures
+    elif df is None:
+        raise ValueError("provide df or signatures")
+    else:
+        sigsets = signature_shingle_sets(df, text_col, id_col)
     cands = lsh_candidates(sigsets.drop("sh"), id_col)
     a = sigsets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = sigsets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
@@ -475,11 +483,12 @@ def signature_shingle_sets(
 
 def incremental_lsh_dedup(
     index_df: DataFrame | None,
-    new_df: DataFrame,
+    new_df: DataFrame | None,
     text_col: str,
     id_col: str,
     threshold: float,
     index_signatures: DataFrame | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash-LSH: match a NEW ingest batch against an
     existing INDEX corpus — the daily 100 TB pattern (dedupe today's
@@ -493,7 +502,10 @@ def incremental_lsh_dedup(
     matched-band volume.  Without it the index signatures are derived
     from ``index_df`` on each call, which re-pays an |index|-sized
     aggregation per ingest (correct, but only sensible for one-off
-    runs).  ``index_df`` may be ``None`` when signatures are supplied.
+    runs).  ``new_signatures`` symmetrically skips the batch-side
+    aggregation when the caller already built it (e.g. to also mine
+    in-batch pairs from the same table).  Each ``*_df`` may be ``None``
+    when its signatures are supplied.
 
     Shape: ONLY the index signature table's band-key-matched slice joins
     the new batch's bands — never |index|².  Verify is exact Jaccard on
@@ -512,7 +524,12 @@ def incremental_lsh_dedup(
         raise ValueError("provide index_df or index_signatures")
     else:
         sig_i = signature_shingle_sets(index_df, text_col, id_col)
-    sig_n = signature_shingle_sets(new_df, text_col, id_col)
+    if new_signatures is not None:
+        sig_n = new_signatures
+    elif new_df is None:
+        raise ValueError("provide new_df or new_signatures")
+    else:
+        sig_n = signature_shingle_sets(new_df, text_col, id_col)
     bands_i = band_stack(sig_i.drop("sh"), id_col)
     bands_n = band_stack(sig_n.drop("sh"), id_col)
     cands = (

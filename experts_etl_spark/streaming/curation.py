@@ -108,6 +108,77 @@ def route_documents(
     return staged.withColumn("reject_reason", reason)
 
 
+def apply_near_dup(
+    staged: DataFrame,
+    threshold: float,
+    index_signatures: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate stage over the routing survivors: MinHash-LSH
+    pairs WITHIN the batch are resolved to cluster canonicals
+    (connected components, min-id keeper), and — when an
+    ``index_signatures`` store is given — every survivor banding-
+    matched to an already-kept document at ≥ ``threshold`` Jaccard is
+    rejected too.  Non-keepers get ``reject_reason='near_duplicate'``
+    (first-match ordering preserved: earlier reasons win).
+
+    Returns ``(staged', batch_signatures)``: the caller checkpoints
+    ``staged'`` and appends the final keepers' slice of
+    ``batch_signatures`` to the persisted store — the batch-side
+    aggregation is computed ONCE (lazily checkpointed) and shared by
+    in-batch mining, cross-batch matching, and the store append.
+
+    Scale shape: the daily-crawl pattern (llm/dedup.py:
+    incremental_lsh_dedup) — per-batch cost tracks |batch| + matched-
+    band volume against the store, never |index|²; in-batch pair
+    mining is band-blocked and CC rounds = cluster diameter (2-3 for
+    near-dup cliques)."""
+    from experts_etl_spark.llm.curation import resolve_clusters
+    from experts_etl_spark.llm.dedup import (
+        incremental_lsh_dedup,
+        minhash_lsh_dedup,
+        signature_shingle_sets,
+    )
+
+    cand = staged.filter(F.col("reject_reason").isNull()).select(
+        "doc_id", "text"
+    )
+    sigs = signature_shingle_sets(cand, "text", "doc_id")
+    in_pairs = minhash_lsh_dedup(
+        None, "text", "doc_id", threshold, signatures=sigs
+    )
+    losers = (
+        resolve_clusters(in_pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    if index_signatures is not None:
+        hits = (
+            incremental_lsh_dedup(
+                None,
+                None,
+                "text",
+                "doc_id",
+                threshold,
+                index_signatures=index_signatures,
+                new_signatures=sigs,
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        losers = losers.union(hits).distinct()
+    out = (
+        staged.join(losers.withColumn("_nd", F.lit(True)), "doc_id", "left")
+        .withColumn(
+            "reject_reason",
+            F.coalesce(
+                "reject_reason", F.when(F.col("_nd"), "near_duplicate")
+            ),
+        )
+        .drop("_nd")
+    )
+    return out, sigs
+
+
 def run_streaming_curation(
     spark: SparkSession,
     src: str,
@@ -117,6 +188,8 @@ def run_streaming_curation(
     quality_min: float = 0.5,
     max_files_per_trigger: int | None = None,
     fp_dir: str | None = None,
+    near_dup_threshold: float | None = None,
+    sig_dir: str | None = None,
 ) -> None:
     """Drain ``src`` (``availableNow``) routing every document to keep
     or reject with a recorded reason.
@@ -142,15 +215,25 @@ def run_streaming_curation(
        ``keep_dir`` without a side table is backfilled once from the
        kept corpus (batch_id=-1) and probed compactly thereafter.
 
+    5. optional NEAR-dup dedup (``near_dup_threshold``): in-batch
+       MinHash-LSH pairs resolved to cluster canonicals, plus an
+       asymmetric band join against the persisted MinHash SIGNATURE
+       STORE (``sig_dir``, default ``<keep_dir>/_signatures``, appended
+       one partition per batch) — the incremental daily-crawl shape:
+       per-tick cost tracks the batch + matched-band volume, never the
+       archive (:func:`apply_near_dup`).
+
     Ordering note: reasons are assigned first-match (quality →
-    repetition → duplicate), so a low-quality copy of a kept doc
-    records ``low_quality``, mirroring the batch funnel's stage order
-    (llm/queries.py:training_corpus_pipeline).
+    repetition → duplicate → near_duplicate), so a low-quality copy of
+    a kept doc records ``low_quality``, mirroring the batch funnel's
+    stage order (llm/queries.py:training_corpus_pipeline).
     """
     from experts_etl_spark.llm.curation import redact_pii
 
     if fp_dir is None:
         fp_dir = os.path.join(keep_dir, "_fingerprints")
+    if sig_dir is None:
+        sig_dir = os.path.join(keep_dir, "_signatures")
 
     reader = spark.readStream.schema(_documents_schema(spark, src))
     if max_files_per_trigger is not None:
@@ -194,6 +277,34 @@ def run_streaming_curation(
         ).localCheckpoint(
             eager=True  # one pass feeds all three sinks; lineage reads fp_dir
         )
+        if near_dup_threshold is not None:
+            sig_path = jvm.org.apache.hadoop.fs.Path(sig_dir)
+            sfs = sig_path.getFileSystem(hconf)
+            store = None
+            if sfs.exists(sig_path):
+                store = spark_b.read.parquet(sig_dir)
+                if "batch_id" in store.columns:
+                    # same at-least-once replay exclusion as the fp probe
+                    store = store.filter(
+                        F.col("batch_id") != F.lit(batch_id)
+                    ).drop("batch_id")
+            staged, sigs = apply_near_dup(
+                staged, near_dup_threshold, index_signatures=store
+            )
+            staged = staged.localCheckpoint(eager=True)
+            # Append the final keepers' signatures to the store: the
+            # next batch's cross-batch near-dup probe band-joins this
+            # compact table, never the text archive.
+            (
+                sigs.join(
+                    staged.filter(
+                        F.col("reject_reason").isNull()
+                    ).select("doc_id"),
+                    "doc_id",
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(sig_dir, f"batch_id={batch_id}"))
+            )
         redacted, _ = redact_pii(F.col("text"))
         # Idempotent under at-least-once foreachBatch replays: each
         # batch overwrites ITS OWN batch_id partition (and the fp probe

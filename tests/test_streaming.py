@@ -426,3 +426,61 @@ def test_streaming_curation_rejects_null_text_fail_closed(spark, tmp_path):
     assert len(row) == 1 and row[0]["reject_reason"] == "low_quality"
     kept = spark.read.parquet(keep)
     assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_streaming_curation_near_dup_across_batches(spark, tmp_path):
+    """Optional near-dup stage: in-batch MinHash-LSH clusters resolve to
+    one canonical keeper; later batches' near-copies of kept content are
+    rejected via the persisted signature store (never by re-reading the
+    archive); exact copies still record 'duplicate'."""
+    from experts_etl_spark.streaming import run_streaming_curation
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    text_a = w
+    text_b = w.rsplit(" ", 1)[0] + " oscar"          # last word changed
+    text_a2 = "papa " + w.split(" ", 1)[1]           # first word changed
+    text_c = "one two three four five six seven eight nine ten eleven twelve"
+    text_d = "red green blue cyan magenta yellow black white gray pink teal navy"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import glob
+    import shutil
+
+    batches = [
+        [(1, text_a), (2, text_b), (3, text_c)],
+        [(10, text_a2), (11, text_c), (12, text_d)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(d, t, "en", "s0") for d, t in rows],
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage_{i}"))
+        shutil.copy(
+            glob.glob(str(tmp_path / f"stage_{i}" / "*.parquet"))[0],
+            feed / f"docs_{i}.parquet",
+        )
+        os.utime(feed / f"docs_{i}.parquet", (1_700_000_000 + i * 60,) * 2)
+    keep, reject = str(tmp_path / "keep"), str(tmp_path / "reject")
+    run_streaming_curation(
+        spark,
+        str(feed),
+        keep_dir=keep,
+        reject_dir=reject,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        quality_min=0.0,
+        max_files_per_trigger=1,
+        near_dup_threshold=0.5,
+    )
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(keep).collect()}
+    assert kept_ids == {1, 3, 12}
+    reasons = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(reject).collect()
+    }
+    assert reasons[2] == "near_duplicate"    # in-batch cluster, min id kept
+    assert reasons[10] == "near_duplicate"   # cross-batch via signature store
+    assert reasons[11] == "duplicate"        # exact copy: earlier reason wins
+    # the signature store holds exactly the keepers, one partition/batch
+    store = spark.read.parquet(os.path.join(keep, "_signatures"))
+    assert {r["doc_id"] for r in store.select("doc_id").collect()} == {1, 3, 12}
+    assert store.select("batch_id").distinct().count() == 2
