@@ -69,6 +69,7 @@ HEADLINE = [
     # round-5 additions
     "training_dedup_leakage",
     "curation_stream_routing",
+    "span_dedup",
 ]
 
 

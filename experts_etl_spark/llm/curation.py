@@ -219,6 +219,84 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-duplicated span removal (C4-style intra-corpus span dedup)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 10,
+    max_sf: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated SPANS from documents — the C4 paper's
+    "discard repeated three-sentence spans" rule (Raffel et al.,
+    arXiv:1910.10683 §2.2) at aligned word-block granularity: chunk
+    each document into consecutive ``span_words``-word blocks, count
+    each block's corpus-wide frequency, drop blocks occurring more
+    than ``max_sf`` times (boilerplate: headers, footers, license
+    text, navigation chrome), and reassemble the survivors in order.
+    Production swaps the chunker for a sentence splitter; the synthetic
+    corpus carries no sentence punctuation, so blocks are the testable
+    granularity — the counting/removal/reassembly plan is identical.
+
+    Returns (id, n_spans, n_removed, clean_text); a fully-boilerplate
+    document survives with ``clean_text = ''`` so the caller decides
+    whether to drop it (C4 drops; Gopher gates on what remains).
+
+    Scale shape: posexplode → span assembly is ONE doc-keyed
+    aggregation (the array-slice formulation would re-run the word
+    split per span — the doc_shingles lesson); span frequencies are a
+    map-side-combined groupBy; hot spans are removed with the
+    broadcast anti-join skew guard (:func:`~experts_etl_spark.llm.
+    dedup.with_max_df` — the hot set is tiny by construction, exactly
+    the stop-shingle argument); reassembly re-aggregates on the doc
+    key.  Everything whole-stage codegen, nothing pairwise."""
+    from experts_etl_spark.llm.dedup import with_max_df
+    from experts_etl_spark.llm.text import words
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    )
+    spans = (
+        toks.withColumn("span_idx", F.floor(F.col("pos") / span_words))
+        .groupBy(id_col, "span_idx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("span")
+        )
+        # feeds the frequency scan, the anti-join left side, and the
+        # per-doc totals — materialize the chunking pass once
+        .localCheckpoint(eager=False)
+    )
+    kept = with_max_df(spans, "span", max_sf)
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda x: x["span"],
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_spans").cast("int").alias("n_spans"),
+        (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Domain-mixture resampling
 # ---------------------------------------------------------------------------
 

@@ -1720,6 +1720,47 @@ def training_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, {_W} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM base
+    ),
+    spans AS (
+      SELECT doc_id, CAST(floor((pos - 1) / 10) AS BIGINT) AS span_idx,
+             string_agg(word, ' ' ORDER BY pos) AS span
+      FROM toks GROUP BY 1, 2
+    ),
+    sf AS (SELECT span, count(*) AS df FROM spans GROUP BY 1),
+    kept AS (
+      SELECT s.* FROM spans s JOIN sf USING (span) WHERE sf.df <= 2
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(t.n_spans AS INT) AS n_spans,
+           CAST(t.n_spans - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-duplicated span removal (llm/curation.py:
+    span_dedup): aligned 10-word blocks occurring more than twice in
+    the corpus are cut from every document, survivors reassembled in
+    order — the boilerplate-stripping pass a pretraining pipeline runs
+    before document-level dedup."""
+    from experts_etl_spark.llm.curation import span_dedup as sd
+
+    d = read_table(spark, sf_dir, "documents")
+    return sd(d, "text", "doc_id")
+
+
+@query(
     "curation_stream_routing",
     f"""
     WITH base AS (SELECT doc_id, text, {_W} AS w FROM documents),

@@ -245,3 +245,25 @@ def test_route_documents_gate_aware_dedup_election(spark):
     assert rows[1]["reject_reason"] == "low_quality"
     assert rows[2]["reject_reason"] is None        # kept, not 'duplicate'
     assert not rows[2]["dup_in_batch"]
+
+
+def test_span_dedup_removes_boilerplate_blocks(spark):
+    """Aligned 10-word blocks shared by >2 docs are cut; unique content
+    survives in order; a fully-boilerplate doc yields clean_text=''."""
+    from experts_etl_spark.llm.curation import span_dedup
+
+    boiler = "terms of service apply all rights reserved contact us here"
+    uniq = [
+        f"document {i} body word{i}a word{i}b word{i}c word{i}d word{i}e word{i}f word{i}g"
+        for i in range(4)
+    ]
+    rows = [(i, boiler + " " + uniq[i]) for i in range(3)]  # boiler df=4 > 2
+    rows.append((3, uniq[3] + " " + boiler))
+    rows.append((4, boiler))                                # all boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df, "text", "doc_id").collect()}
+    for i in range(3):
+        assert got[i]["n_spans"] == 2 and got[i]["n_removed"] == 1
+        assert got[i]["clean_text"] == uniq[i]
+    assert got[3]["clean_text"] == uniq[3]     # order preserved, block cut
+    assert got[4]["n_removed"] == 1 and got[4]["clean_text"] == ""

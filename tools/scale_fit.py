@@ -60,6 +60,7 @@ PACK = [
     # round-5 additions
     "training_dedup_leakage",
     "curation_stream_routing",
+    "span_dedup",
 ]
 
 
