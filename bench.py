@@ -70,6 +70,7 @@ HEADLINE = [
     "training_dedup_leakage",
     "curation_stream_routing",
     "span_dedup",
+    "ann_topk_ivf2",
 ]
 
 

@@ -649,6 +649,79 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivf2",
+    f"""
+    WITH n AS ({_NEMB}),
+    cells AS (
+      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    supers AS (
+      SELECT vec_id AS super_id, q AS sq, n2 AS sn2 FROM n
+      WHERE vec_id % ({_CENT_MOD}
+        * (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM cells)) = 0
+    ),
+    cell_super AS (
+      SELECT cent_id, super_id FROM (
+        SELECT c.cent_id, s.super_id,
+               row_number() OVER (PARTITION BY c.cent_id
+                 ORDER BY list_dot_product(c.cq, s.sq) / sqrt(c.cn2 * s.sn2) DESC,
+                          s.super_id) AS rn
+        FROM cells c CROSS JOIN supers s) WHERE rn = 1
+    ),
+    v_super AS (
+      SELECT vec_id, q, n2, super_id FROM (
+        SELECT e.vec_id, e.q, e.n2, s.super_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, s.sq) / sqrt(e.n2 * s.sn2) DESC,
+                          s.super_id) AS rn
+        FROM n e CROSS JOIN supers s) WHERE rn = 1
+    ),
+    cand_assign AS (
+      SELECT vec_id AS cand_id, q AS cq2, n2 AS cn22, cent_id FROM (
+        SELECT v.vec_id, v.q, v.n2, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) / sqrt(v.n2 * c.cn2) DESC,
+                          c.cent_id) AS rn
+        FROM v_super v JOIN cell_super cs ON v.super_id = cs.super_id
+        JOIN cells c ON cs.cent_id = c.cent_id) WHERE rn = 1
+    ),
+    probe_assign AS (
+      SELECT vec_id AS probe_id, q AS pq, n2 AS pn2, cent_id FROM (
+        SELECT e.vec_id, e.q, e.n2, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) DESC,
+                          c.cent_id) AS rn
+        FROM n e CROSS JOIN cells c WHERE e.vec_id < 16) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.probe_id, a.cand_id,
+             list_dot_product(p.pq, a.cq2) / sqrt(p.pn2 * a.cn22) AS cos
+      FROM cand_assign a JOIN probe_assign p USING (cent_id)
+      WHERE p.probe_id <> a.cand_id
+    )
+    SELECT probe_id, cand_id, rank, cos FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cos DESC, cand_id) AS INT) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN (llm/similarity.py:ivf2_topk):
+    the corpus is assigned through ~n^(1/4) super-cells then only the
+    chosen super's cells — n^1.25 assignment work instead of flat
+    IVF's n^1.5 — while probes keep exact nprobe assignment over the
+    full cell set.  The SCALE_FIT escape hatch for the exp≈1.1 flat-IVF
+    family, hash-pinned against the same nested deterministic
+    quantizer in SQL."""
+    from experts_etl_spark.llm.similarity import ivf2_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    return ivf2_topk(e, probes, "vec_id", "embedding", k=3, nprobe=2)
+
+
+@query(
     "ann_recall",
     f"""
     WITH n AS ({_NEMB}),

@@ -309,6 +309,134 @@ def bucketed_ann_topk(
     )
 
 
+def ivf2_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN — the scale path past flat
+    IVF's n·√n assignment cost.
+
+    Flat IVF with nlist ≈ √n scores every vector against every
+    centroid: n·√n work (the measured exp≈1.1 family in
+    SCALE_FIT.json).  Here the centroid set itself is coarse-quantized:
+    ~n^(1/4) SUPER-cells partition the ~√n cells, and each corpus
+    vector is scored against (a) the super set, then (b) only its
+    super's
+    cells — ~2·n^(1/4) comparisons per vector, n^1.25 total.  The
+    deterministic nested sample keeps it engine-reproducible:
+    cells = ids ≡ 0 (mod isqrt(n)), supers = ids ≡ 0 (mod
+    isqrt(n)·isqrt(nlist)) ⊂ cells.
+
+    Probes (tiny by definition) are assigned EXACTLY over the full
+    cell set with ``nprobe`` probing — probe-side recall costs nothing
+    at corpus scale, and the candidate join stays blocked on the cell
+    id.  Assignment is hierarchical hence approximate for the corpus
+    side (a vector near a super boundary may land in a near-optimal
+    cell); the recall/cost trade is pinned against flat IVF in
+    tests/test_llm_pack.py."""
+    n_rows = emb.count()
+    m1 = auto_cent_mod(n_rows)
+    nq = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_q"), F.col("_n2")
+    )
+    cells = nq.filter(F.col("vec_id") % m1 == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("_q").alias("cq"),
+        F.col("_n2").alias("cn2"),
+    )
+    n_cells = cells.count()
+    s = max(2, math.isqrt(n_cells))
+    supers = nq.filter(F.col("vec_id") % (m1 * s) == 0).select(
+        F.col("vec_id").alias("super_id"),
+        F.col("_q").alias("sq"),
+        F.col("_n2").alias("sn2"),
+    )
+
+    def argmax_super(side: DataFrame, keep: list) -> DataFrame:
+        """Nearest super per row — broadcast supers, max_by hash-agg
+        (only best-so-far rows cross the shuffle)."""
+        scored = side.join(F.broadcast(supers)).withColumn(
+            "_scos",
+            cosine(dot(F.col("_q"), F.col("sq")), F.col("_n2"), F.col("sn2")),
+        )
+        best = F.max_by(
+            F.struct("super_id", *keep),
+            F.struct(F.col("_scos"), (-F.col("super_id")).alias("_ns")),
+        ).alias("_best")
+        out = scored.groupBy("vec_id").agg(best)
+        return out.select("vec_id", "_best.super_id", *[f"_best.{c}" for c in keep])
+
+    cell_super = argmax_super(
+        cells.select(
+            F.col("cent_id").alias("vec_id"), F.col("cq").alias("_q"),
+            F.col("cn2").alias("_n2"),
+        ),
+        [],
+    ).select(F.col("vec_id").alias("cent_id"), "super_id")
+    # cells-of-super, rejoined to the cell vectors — broadcast (√n rows)
+    cells_by_super = F.broadcast(cells.join(cell_super, "cent_id"))
+    v_super = argmax_super(nq, ["_q", "_n2"])
+    v_cell_scored = v_super.join(cells_by_super, "super_id").withColumn(
+        "_ccos",
+        cosine(dot(F.col("_q"), F.col("cq")), F.col("_n2"), F.col("cn2")),
+    )
+    cand_cells = (
+        v_cell_scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "_q", "_n2"),
+                F.struct(F.col("_ccos"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_best")
+        )
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("_best.cent_id").alias("cent_id"),
+            F.col("_best._q").alias("cq2"),
+            F.col("_best._n2").alias("cn22"),
+        )
+    )
+    # probe side: EXACT nprobe assignment over the full (still small)
+    # cell set — same plan as flat ivf_topk's probe leg
+    pq = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"), F.col("_q"), F.col("_n2")
+    )
+    pscored = pq.join(F.broadcast(cells)).withColumn(
+        "_ccos",
+        cosine(dot(F.col("_q"), F.col("cq")), F.col("_n2"), F.col("cn2")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("_ccos").desc(), F.col("cent_id")
+    )
+    probe_cells = (
+        pscored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= nprobe)
+        .select(
+            "probe_id", "cent_id", F.col("_q").alias("pq"),
+            F.col("_n2").alias("pn2"),
+        )
+    )
+    scored = (
+        cand_cells.join(F.broadcast(probe_cells), "cent_id")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .withColumn(
+            "cos",
+            cosine(dot(F.col("pq"), F.col("cq2")), F.col("pn2"), F.col("cn22")),
+        )
+    )
+    rw = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "rank", "cos")
+    )
+
+
 def kmeans_refined_assign(
     emb: DataFrame,
     id_col: str,

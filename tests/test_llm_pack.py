@@ -196,3 +196,37 @@ def test_max_df_cap_drops_stop_shingles_keeps_near_dups(spark):
         for r in winnow_pairs(df, "text", "doc_id", 0.5, max_df=2).collect()
     }
     assert (1, 2) in wp
+
+
+def test_ivf2_recall_matches_flat_ivf_on_clustered(spark, tmp_path):
+    """Two-level IVF trades n^1.5 assignment for n^1.25 with a bounded
+    recall cost: identical to flat IVF on clustered vectors (the
+    realistic corpus shape), and within a small margin on the
+    adversarial uniform fixture."""
+    from tools.gen_scaledata import generate
+
+    from experts_etl_spark.llm.similarity import ivf2_topk, ivf_topk
+    from experts_etl_spark.sources import read_table
+
+    for mode, margin, floor in (("clustered", 0.001, 0.85), ("uniform", 0.15, 0.1)):
+        d = str(tmp_path / mode)
+        generate(d, docs=500, vecs=2000, seed=42, mode=mode)
+        e = read_table(spark, d, "embeddings")
+        probes = e.filter(F.col("vec_id") < 16)
+        exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
+            "probe_id", "cand_id"
+        )
+        n_exact = exact.count()
+
+        def recall(df):
+            return (
+                exact.join(
+                    df.select("probe_id", "cand_id"), ["probe_id", "cand_id"]
+                ).count()
+                / n_exact
+            )
+
+        r_flat = recall(ivf_topk(e, probes, "vec_id", "embedding", 3))
+        r_two = recall(ivf2_topk(e, probes, "vec_id", "embedding", 3))
+        assert r_two >= r_flat - margin, (mode, r_flat, r_two)
+        assert r_two >= floor, (mode, r_two)

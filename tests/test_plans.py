@@ -87,6 +87,7 @@ def test_no_cartesian_products_anywhere(spark):
         "owner_reassignment",    # scalar root key broadcast
         "embedding_near_dup",    # exact all-pairs baseline (bucketed twin exists)
         "ann_topk_ivf",          # centroid set broadcast for cell assignment
+        "ann_topk_ivf2",         # super/cell set broadcast, two-level assignment
         "ann_ivf_kmeans",        # centroid set broadcast per Lloyd iteration
         "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
         "ann_recall",            # brute-force baseline + 1-row agg cross joins

@@ -61,6 +61,7 @@ PACK = [
     "training_dedup_leakage",
     "curation_stream_routing",
     "span_dedup",
+    "ann_topk_ivf2",
 ]
 
 
