@@ -267,3 +267,27 @@ def test_span_dedup_removes_boilerplate_blocks(spark):
         assert got[i]["clean_text"] == uniq[i]
     assert got[3]["clean_text"] == uniq[3]     # order preserved, block cut
     assert got[4]["n_removed"] == 1 and got[4]["clean_text"] == ""
+
+
+def test_span_dedup_identity_when_cap_unreachable(spark):
+    """With an unreachably high frequency cap nothing is removed:
+    clean_text reconstructs the whitespace/case-normalized original for
+    every document — the chunk/reassemble round-trip is lossless."""
+    from experts_etl_spark.llm.curation import span_dedup
+    from experts_etl_spark.llm.text import words
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents").limit(50)
+    got = span_dedup(d, "text", "doc_id", max_sf=10**9)
+    norm = d.select(
+        "doc_id", F.array_join(words(F.col("text")), " ").alias("norm")
+    )
+    diff = (
+        got.join(norm, "doc_id")
+        .filter(
+            (F.col("clean_text") != F.col("norm"))
+            | (F.col("n_removed") != 0)
+        )
+        .count()
+    )
+    assert diff == 0
