@@ -130,7 +130,18 @@ def main() -> None:
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"{name:32s} ERR {row['err']}")
         finally:
+            # Same residue discipline as bench.py: clearCache drops
+            # JVM cache-manager entries, but localCheckpoint blocks are
+            # only reclaimed after the Python refs die AND the JVM GCs —
+            # without the explicit GCs each query runs under the
+            # accumulated storage pressure of every query before it
+            # (measured: the funnel family inflated 1.3-3× late in the
+            # suite, corrupting the very exponents this tool measures).
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         results[name] = row
 
     out = {
