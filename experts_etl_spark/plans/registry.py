@@ -60,6 +60,8 @@ GATE_ORDER = [
     # --- NEW round-5 queries -------------------------------------------
     "training_dedup_leakage",    # funnel-level dup-leakage audit (item 6)
     "curation_stream_routing",   # streaming-curation batch twin (item 8)
+    "span_dedup",                # C4-style duplicated-span removal
+    "ann_topk_ivf2",             # two-level IVF, n^1.25 assignment
     # --- ANN pack: all touched by the self-scaled knobs (item 2) -------
     "ann_topk_bucketed",
     "ann_topk_ivf",
@@ -79,10 +81,10 @@ GATE_ORDER = [
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
     "skew_tolerant_counts",     # salting / two-stage agg
     "dedup_minhash_lsh",
-    "corpus_curation",
-    "multimodal_metadata",
     "user_sessions",            # sessionize over events (bench headline)
     "person_sync_xml",          # F14 person template (bench headline)
+    # corpus_curation & multimodal_metadata retired (green r4; their
+    # components are covered by the gated curation/multimodal queries)
     # --- stalest proofs: r2/r3 window, no row since round 3 ------------
     "dedup_exact",
     "dedup_simhash",
