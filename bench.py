@@ -71,6 +71,7 @@ HEADLINE = [
     "curation_stream_routing",
     "span_dedup",
     "ann_topk_ivf2",
+    "dedup_cluster_resolution_lsh",
 ]
 
 

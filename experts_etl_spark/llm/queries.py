@@ -1349,6 +1349,59 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(ngram_jaccard_pairs(d, "text", "doc_id", 0.5))
 
 
+@query(
+    "dedup_cluster_resolution_lsh",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS ({_JACCARD}),
+    pairs AS (
+      SELECT c.id1, c.id2
+      FROM cands c JOIN jac j ON c.id1 = j.id1 AND c.id2 = j.id2
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.comp FROM walk w JOIN edges e ON w.id = e.a
+    ),
+    cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+    sizes AS (SELECT comp, count(*) AS cs FROM cc GROUP BY 1)
+    SELECT cc.id AS doc_id, cc.comp AS canonical_id,
+           CAST(cs AS INT) AS cluster_size,
+           cc.id = cc.comp AS is_canonical
+    FROM cc JOIN sizes USING (comp)
+    """,
+)
+def dedup_cluster_resolution_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for cluster resolution: identical CC/election code
+    to ``dedup_cluster_resolution``, but edges come from MinHash-LSH
+    verified candidates instead of the exact shingle-blocked self-join —
+    `resolve_clusters` accepts any edge list, so swapping the miner is a
+    one-line change and this registered query hash-proves it.  The
+    exact-mining variant measures exp ≈ 1.1-1.25 at 9× (per-shingle
+    occupancy growth); the banded miner measures exp ≈ 0.7 on the same
+    data (SCALE.md), which is the difference between a verification
+    baseline and something you run on 100 TB daily."""
+    from experts_etl_spark.llm.curation import resolve_clusters
+    from experts_etl_spark.llm.dedup import minhash_lsh_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return resolve_clusters(minhash_lsh_dedup(d, "text", "doc_id", 0.5))
+
+
 _PII_ENRICHED = """
   SELECT doc_id,
          concat(text, ' Contact user', CAST(doc_id AS VARCHAR),

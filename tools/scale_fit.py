@@ -62,6 +62,7 @@ PACK = [
     "curation_stream_routing",
     "span_dedup",
     "ann_topk_ivf2",
+    "dedup_cluster_resolution_lsh",
 ]
 
 
