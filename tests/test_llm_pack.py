@@ -230,3 +230,34 @@ def test_ivf2_recall_matches_flat_ivf_on_clustered(spark, tmp_path):
         r_two = recall(ivf2_topk(e, probes, "vec_id", "embedding", 3))
         assert r_two >= r_flat - margin, (mode, r_flat, r_two)
         assert r_two >= floor, (mode, r_two)
+
+
+def test_auto_knob_rules_match_sql_formulas_exactly():
+    """The self-scaling knob rules must be INTEGER-EXACT equal between
+    Python (auto_srp_bits / auto_cent_mod) and the SQL the oracles
+    embed (length(bin(n // occ)) / floor(sqrt(n))) for any corpus
+    size — the entire self-scaled-oracle design rests on this
+    equivalence.  Swept over five decades plus the classic float
+    boundary neighborhoods (powers of two, perfect squares, +/-1)."""
+    import duckdb
+
+    from experts_etl_spark.llm.similarity import auto_cent_mod, auto_srp_bits
+
+    con = duckdb.connect()
+    ns = set()
+    for d in range(0, 13):
+        for base in (10**d if d < 10 else 2**d, 2**d, int(1.5 * 2**d)):
+            for off in (-1, 0, 1):
+                n = base + off
+                if n >= 0:
+                    ns.add(n)
+    for sq in (22, 316, 1000, 31623, 4096):
+        for off in (-1, 0, 1):
+            ns.add(sq * sq + off)
+    for n in sorted(ns):
+        sql_bits, sql_mod = con.execute(
+            f"SELECT least(greatest(length(bin({n} // 8)), 4), 16),"
+            f" greatest(2, CAST(floor(sqrt({n})) AS BIGINT))"
+        ).fetchone()
+        assert auto_srp_bits(n) == sql_bits, n
+        assert auto_cent_mod(n) == sql_mod, n
