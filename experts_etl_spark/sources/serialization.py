@@ -84,8 +84,12 @@ def write_single_xml(
     Sorts globally, then streams partition-by-partition through
     ``toLocalIterator`` so element order is the sort order and driver
     memory stays bounded by one partition.  Returns the element count.
+    NULL ``xml_col`` rows render as an empty line (same contract as the
+    distributed twin, so the two writers stay byte-equal).
     """
-    ordered = df.orderBy(*order_by).select(xml_col)
+    ordered = df.orderBy(*order_by).select(
+        F.coalesce(F.col(xml_col), F.lit("")).alias(xml_col)
+    )
     if batch_partitions:
         ordered = ordered.coalesce(batch_partitions)
     n = 0
@@ -123,8 +127,11 @@ def write_single_xml_distributed(
     numbering IS the range order).  On an object store the stitch
     becomes a storage-layer compose (S3 multipart copy-parts / GCS
     compose) — zero driver bytes; this local implementation streams
-    fixed-size chunks, so driver memory is O(chunk), and counts
-    elements from the newlines it already copies.  The order keys must
+    fixed-size chunks, so driver memory is O(chunk).  The element count
+    is the ROW count of the sorted dataset (counted once off the
+    persisted shuffle output, not from copied newlines — rendered XML
+    may embed newlines, e.g. the multi-line person template).  The
+    order keys must
     form a total order (unique tie-break) for byte-equality with the
     serial writer — the usual distributed-sort caveat.
 
@@ -148,28 +155,31 @@ def write_single_xml_distributed(
         df.repartitionByRange(n_parts, *cols)
         .sortWithinPartitions(*cols)
         .select(F.coalesce(F.col(xml_col), F.lit("")).alias("value"))
+        .persist()
     )
-    staging = path + ".parts"
-    if os.path.exists(staging):
+    try:
+        n = ordered.count()
+        staging = path + ".parts"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        ordered.write.mode("overwrite").text(staging)
+        with open(path, "wb") as out:
+            out.write(header.encode("utf-8"))
+            if not header.endswith("\n"):
+                out.write(b"\n")
+            for part in sorted(glob.glob(os.path.join(staging, "part-*"))):
+                with open(part, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+            out.write(footer.encode("utf-8"))
+            if not footer.endswith("\n"):
+                out.write(b"\n")
         shutil.rmtree(staging)
-    ordered.write.mode("overwrite").text(staging)
-    n = 0
-    with open(path, "wb") as out:
-        out.write(header.encode("utf-8"))
-        if not header.endswith("\n"):
-            out.write(b"\n")
-        for part in sorted(glob.glob(os.path.join(staging, "part-*"))):
-            with open(part, "rb") as src:
-                while True:
-                    chunk = src.read(1 << 20)
-                    if not chunk:
-                        break
-                    n += chunk.count(b"\n")
-                    out.write(chunk)
-        out.write(footer.encode("utf-8"))
-        if not footer.endswith("\n"):
-            out.write(b"\n")
-    shutil.rmtree(staging)
+    finally:
+        ordered.unpersist()
     return n
 
 

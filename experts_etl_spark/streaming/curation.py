@@ -259,7 +259,18 @@ def run_streaming_curation(
             # Legacy keep_dir predating the side table: backfill it once
             # from the kept corpus (batch_id=-1 never collides with a
             # real micro-batch id), then probe compactly forever after.
-            legacy = spark_b.read.parquet(keep_dir).select("fp").distinct()
+            # CURRENT batch excluded: on an at-least-once replay of
+            # batch N that coincides with the backfill (upgrade, or
+            # fp_dir lost), the first attempt's keep partition is
+            # already on disk — folding it into batch_id=-1 would
+            # defeat the `batch_id != current` replay guard below and
+            # self-reject the whole batch as 'duplicate'.
+            legacy_src = spark_b.read.parquet(keep_dir)
+            if "batch_id" in legacy_src.columns:
+                legacy_src = legacy_src.filter(
+                    F.col("batch_id") != F.lit(batch_id)
+                )
+            legacy = legacy_src.select("fp").distinct()
             legacy.write.mode("overwrite").parquet(
                 os.path.join(fp_dir, "batch_id=-1")
             )

@@ -291,3 +291,28 @@ def test_span_dedup_identity_when_cap_unreachable(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_funnel_lsh_miner_matches_exact_at_test_scale(spark):
+    """The curation funnel's default pair miner is the MinHash-LSH
+    candidate path (scale default).  This pins its recall against the
+    exact shingle-blocked miner over the funnel's own gated survivor
+    set at sf0.01: identical pair sets, hence identical dup-loser sets
+    and identical kept corpora — the measured evidence behind
+    training_dedup_leakage's leaked_pairs = 0."""
+    from experts_etl_spark.llm.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+    from experts_etl_spark.llm.queries import _curation_funnel
+
+    gated, _ = _curation_funnel(spark, SF_CORRECT)
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(gated, "text", "doc_id", 0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_dedup(gated, "text", "doc_id", 0.5).collect()
+    }
+    assert lsh == exact

@@ -80,6 +80,30 @@ def test_write_single_xml_distributed_byte_equal(spark, tmp_path):
     assert not os.path.exists(dist + ".parts")  # staging cleaned up
 
 
+def test_write_single_xml_distributed_multiline_and_null(spark, tmp_path):
+    """Element counts must be ROW counts, not newline counts: the real
+    sync payloads (plans/xml_sync.py) render multi-line XML per row.
+    NULL xml renders as an empty line in BOTH writers (aligned
+    contract), keeping the outputs byte-equal."""
+    rows = [
+        (2, "<p>\n  <a>2</a>\n</p>"),
+        (1, "<p>\n  <a>1</a>\n</p>"),
+        (3, None),
+        (4, "<p>4</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "xml"]).repartition(3)
+    serial = str(tmp_path / "serial_ml.xml")
+    dist = str(tmp_path / "dist_ml.xml")
+    n1 = write_single_xml(
+        df, serial, "xml", ["k"], header="<ps>", footer="</ps>"
+    )
+    n2 = write_single_xml_distributed(
+        df, dist, "xml", ["k"], header="<ps>", footer="</ps>", n_parts=2
+    )
+    assert n1 == n2 == 4  # 4 rows despite 8 payload newlines
+    assert open(serial, "rb").read() == open(dist, "rb").read()
+
+
 def test_write_single_xml_distributed_empty(spark, tmp_path):
     df = spark.createDataFrame([], "k int, xml string")
     path = str(tmp_path / "empty.xml")
