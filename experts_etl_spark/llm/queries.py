@@ -659,19 +659,18 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, probes, "vec_id", "embedding", k=3, centroids=cents)
 
 
-@query(
-    "ann_topk_ivf2",
-    f"""
-    WITH n AS ({_NEMB}),
-    cells AS (
-      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
-      WHERE vec_id % {_CENT_MOD} = 0
-    ),
+# Two-level IVF oracle tail, shared by the sampled (`ann_topk_ivf2`)
+# and Lloyd-trained (`ann_topk_ivf2_refined`) variants — everything
+# downstream of the `cells` CTE is identical; supers are the nested
+# deterministic subset cent_id ≡ 0 (mod m1·s) of whatever `cells` is.
+_IVF2_SUPERS = f"""
     supers AS (
-      SELECT vec_id AS super_id, q AS sq, n2 AS sn2 FROM n
-      WHERE vec_id % ({_CENT_MOD}
+      SELECT cent_id AS super_id, cq AS sq, cn2 AS sn2 FROM cells
+      WHERE cent_id % ({_CENT_MOD}
         * (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM cells)) = 0
-    ),
+    )"""
+
+_IVF2_TAIL = """
     cell_super AS (
       SELECT cent_id, super_id FROM (
         SELECT c.cent_id, s.super_id,
@@ -714,7 +713,19 @@ def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_id, cand_id, rank, cos FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
                   ORDER BY cos DESC, cand_id) AS INT) AS rank
-      FROM scored) WHERE rank <= 3
+      FROM scored) WHERE rank <= 3"""
+
+
+@query(
+    "ann_topk_ivf2",
+    f"""
+    WITH n AS ({_NEMB}),
+    cells AS (
+      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    {_IVF2_SUPERS},
+    {_IVF2_TAIL}
     """,
 )
 def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +741,40 @@ def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 16)
     return ivf2_topk(e, probes, "vec_id", "embedding", k=3, nprobe=2)
+
+
+@query(
+    "ann_topk_ivf2_refined",
+    f"""
+    WITH n AS ({_NEMB}),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
+    {_kmeans_iter_sql('c0', 1)},
+    {_kmeans_iter_sql('c1', 2)},
+    cells AS (SELECT cent_id, cq, cn2 FROM c2),
+    {_IVF2_SUPERS},
+    {_IVF2_TAIL}
+    """,
+)
+def ann_topk_ivf2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined ANN headline: Lloyd-TRAINED cells searched through
+    the two-level hierarchy (kmeans_refined_centroids → ivf2_topk) —
+    trained recall without flat IVF's n·√n assignment (the measured
+    exp≈1.1 term in ``ann_topk_ivf_refined``; the hierarchical
+    assignment is n^1.25).  Supers are the nested deterministic subset
+    of the trained cells (training preserves seed cent_ids, so the
+    stride rule — and with it the SQL twin — carries over); probes keep
+    exact nprobe assignment over the full trained cell set."""
+    from experts_etl_spark.llm.similarity import (
+        ivf2_topk,
+        kmeans_refined_centroids,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_refined_centroids(e, "vec_id", "embedding", iters=2)
+    probes = e.filter(F.col("vec_id") < 16)
+    return ivf2_topk(
+        e, probes, "vec_id", "embedding", k=3, nprobe=2, centroids=cents
+    )
 
 
 @query(
@@ -1910,6 +1955,80 @@ def training_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("leaked_pairs").cast("double")
                 / F.col("n_kept").cast("double")
             ).alias("leakage_rate"),
+        )
+    )
+
+
+@query(
+    "training_dedup_leakage_sampled",
+    f"""
+    WITH RECURSIVE {_FUNNEL_CTES},
+    samp AS MATERIALIZED (
+      SELECT k.doc_id FROM kept k
+      WHERE CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+    ),
+    ssh AS (SELECT g.* FROM gsh g JOIN samp USING (doc_id)),
+    ssizes AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY 1),
+    sinter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM ssh a JOIN ssh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sleaked AS (
+      SELECT id1, id2
+      FROM sinter
+      JOIN ssizes s1 ON id1 = s1.doc_id
+      JOIN ssizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sampled,
+           (SELECT CAST(count(*) AS BIGINT) FROM sleaked) AS leaked_pairs_sampled,
+           CAST((SELECT count(*) FROM sleaked) AS DOUBLE) * 4.0 AS est_leaked_pairs,
+           CAST((SELECT count(*) FROM sleaked) AS DOUBLE) * 4.0
+             / CAST((SELECT count(*) FROM kept) AS DOUBLE) AS est_leakage_rate
+    """,
+)
+def training_dedup_leakage_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB story for the leakage audit: ``training_dedup_leakage``
+    is exact truth and therefore re-pays the funnel's own blocked pair
+    join over the whole kept set — fine as a verification run, not as a
+    per-ingest health check.  Here the kept set is DETERMINISTICALLY
+    hash-sampled at p = 1/2 (md5-low-60-bits(doc_id) % 2 — the same
+    engine-portable hash as every other sampling site, no rand()), the
+    exact shingle-blocked join runs WITHIN the sample only (cost scales
+    by p² ≈ 4× less shared-shingle volume), and the population leak
+    count is estimated by the Horvitz-Thompson inverse
+    ``observed / p²`` — each leaked pair survives sampling iff both
+    endpoints do, probability p², so the estimator is unbiased
+    (pinned in tests/test_training_ops.py).  At production scale p
+    drops to 1/32 or lower; the estimator and its oracle are the same
+    formula."""
+    from experts_etl_spark.llm.dedup import hex60, ngram_jaccard_pairs
+
+    _, kept = _curation_funnel(spark, sf_dir, keep_text=True)
+    samp = kept.filter(hex60(F.col("doc_id").cast("string")) % 2 == 0)
+    leaked = ngram_jaccard_pairs(samp, "text", "doc_id", 0.5)
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    n_samp = samp.agg(F.count(F.lit(1)).alias("n_sampled"))
+    n_leak = leaked.agg(
+        F.count(F.lit(1)).alias("leaked_pairs_sampled")
+    )
+    return (
+        n_kept.crossJoin(n_samp)
+        .crossJoin(n_leak)
+        .select(
+            "n_kept",
+            "n_sampled",
+            "leaked_pairs_sampled",
+            (F.col("leaked_pairs_sampled").cast("double") * F.lit(4.0)).alias(
+                "est_leaked_pairs"
+            ),
+            (
+                F.col("leaked_pairs_sampled").cast("double")
+                * F.lit(4.0)
+                / F.col("n_kept").cast("double")
+            ).alias("est_leakage_rate"),
         )
     )
 

@@ -316,6 +316,7 @@ def ivf2_topk(
     vec_col: str,
     k: int,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level (hierarchical) IVF ANN — the scale path past flat
     IVF's n·√n assignment cost.
@@ -337,23 +338,39 @@ def ivf2_topk(
     id.  Assignment is hierarchical hence approximate for the corpus
     side (a vector near a super boundary may land in a near-optimal
     cell); the recall/cost trade is pinned against flat IVF in
-    tests/test_llm_pack.py."""
+    tests/test_llm_pack.py.
+
+    Pass ``centroids`` (cent_id, centq, centn2 — e.g.
+    :func:`kmeans_refined_centroids`) to search through a TRAINED cell
+    set: supers are then the nested deterministic subset of the trained
+    cells (cent_id ≡ 0 mod m1·s — training preserves seed ids, so the
+    stride rule carries over), which keeps the hierarchy reproducible
+    in SQL while the cell vectors are the Lloyd-refined ones.  For the
+    sampled path the supers-from-cells draw is identical to the
+    supers-from-corpus draw (cells ARE the stride-m1 corpus vectors)."""
     n_rows = emb.count()
     m1 = auto_cent_mod(n_rows)
     nq = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("_q"), F.col("_n2")
     )
-    cells = nq.filter(F.col("vec_id") % m1 == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("_q").alias("cq"),
-        F.col("_n2").alias("cn2"),
-    )
+    if centroids is not None:
+        cells = centroids.select(
+            "cent_id",
+            F.col("centq").alias("cq"),
+            F.col("centn2").alias("cn2"),
+        )
+    else:
+        cells = nq.filter(F.col("vec_id") % m1 == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("_q").alias("cq"),
+            F.col("_n2").alias("cn2"),
+        )
     n_cells = cells.count()
     s = max(2, math.isqrt(n_cells))
-    supers = nq.filter(F.col("vec_id") % (m1 * s) == 0).select(
-        F.col("vec_id").alias("super_id"),
-        F.col("_q").alias("sq"),
-        F.col("_n2").alias("sn2"),
+    supers = cells.filter(F.col("cent_id") % (m1 * s) == 0).select(
+        F.col("cent_id").alias("super_id"),
+        F.col("cq").alias("sq"),
+        F.col("cn2").alias("sn2"),
     )
 
     def argmax_super(side: DataFrame, keep: list) -> DataFrame:

@@ -29,9 +29,28 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1: columnar table scan with pushdown (reference full-scans via ORM,
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    jdbc_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1: table scan with pushdown (reference full-scans via ORM,
     e.g. edw_to_pure/person.py:37).
+
+    ``sf_dir`` is either a directory of parquet tables (local path or
+    object-store URI — the default everywhere in this repo) or a JDBC
+    URL (``jdbc:...``), in which case ``name`` is read as a database
+    table through Spark's JDBC source — the cluster shape of the
+    reference's Oracle reads (oit_to_edw/person.py:43).  Filter and
+    LIMIT pushdown stay enabled so Catalyst ships predicates into the
+    database's WHERE clause instead of scanning the table
+    (plan-asserted in tests/test_jdbc.py against embedded Derby); for
+    a parallel partitioned read pass the standard
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    (and ``driver``/``fetchsize``) through ``jdbc_options`` — without
+    them a JDBC read is a single task, which is fine for dim-sized
+    sync tables and wrong for facts.
 
     ``events.ts`` may arrive in any of three parquet encodings and is
     normalized to Spark ``TIMESTAMP`` here, once, at the boundary:
@@ -46,6 +65,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       inferred NTZ;
     - tz-aware µs: already TIMESTAMP.
     """
+    if sf_dir.startswith("jdbc:"):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", sf_dir)
+            .option("dbtable", name)
+            .option("pushDownPredicate", "true")
+            .option("pushDownLimit", "true")
+        )
+        for k, v in (jdbc_options or {}).items():
+            reader = reader.option(k, v)
+        return reader.load()
     if name == "events":
         # Runtime-settable; required even when the session wasn't built by
         # our factory (the driver passes its own plain SparkSession).

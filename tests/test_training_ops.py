@@ -70,3 +70,41 @@ def test_contamination_pairs_never_within_one_side(spark):
         assert r["bench_doc_id"] % 11 == 0
         assert r["train_doc_id"] % 11 != 0
         assert 0.0 < r["overlap_ratio"] <= 1.0
+
+
+def test_sampled_leakage_estimator_survival_logic(spark):
+    """training_dedup_leakage_sampled's Horvitz-Thompson estimator rests
+    on one fact: a pair appears in the sampled audit iff BOTH endpoints
+    hash into the sample (survival probability p²) — hence
+    est = observed / p².  Pin it: exact pairs mined within the sampled
+    subset must equal the full-population exact pairs restricted to
+    sampled endpoints, and the registered query must scale observed by
+    exactly 1/p² = 4."""
+    from pyspark.sql import functions as F
+
+    from experts_etl_spark.llm.dedup import hex60, ngram_jaccard_pairs
+    from experts_etl_spark.llm.queries import QUERIES
+    from experts_etl_spark.sources import read_table
+    from tests.conftest import SF_SMOKE
+
+    d = read_table(spark, SF_SMOKE, "documents")
+    in_sample = hex60(F.col("doc_id").cast("string")) % 2 == 0
+    samp = d.filter(in_sample)
+    sampled_ids = {r[0] for r in samp.select("doc_id").collect()}
+    # truth over the population, then restricted to sampled endpoints
+    truth = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", 0.5).collect()
+    }
+    truth_in_sample = {
+        (a, b) for a, b in truth if a in sampled_ids and b in sampled_ids
+    }
+    mined = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(samp, "text", "doc_id", 0.5).collect()
+    }
+    assert mined == truth_in_sample
+    assert 0 < len(sampled_ids) < d.count()  # the sample is non-trivial
+    row = QUERIES["training_dedup_leakage_sampled"](spark, SF_SMOKE).collect()[0]
+    assert row["est_leaked_pairs"] == row["leaked_pairs_sampled"] * 4.0
+    assert 0 < row["n_sampled"] < row["n_kept"] + 1

@@ -63,6 +63,9 @@ PACK = [
     "span_dedup",
     "ann_topk_ivf2",
     "dedup_cluster_resolution_lsh",
+    # round-6 additions
+    "ann_topk_ivf2_refined",
+    "training_dedup_leakage_sampled",
 ]
 
 
