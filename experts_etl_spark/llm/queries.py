@@ -65,6 +65,34 @@ _JACCARD = f"""
     JOIN sizes s1 ON id1 = s1.doc_id
     JOIN sizes s2 ON id2 = s2.doc_id
 """
+# Frequency-capped exact-Jaccard twin (llm/dedup.py:with_max_df): drop
+# shingles present in more than MAX_DF docs, then size/intersect over
+# the capped universe — mirrors ngram_jaccard_pairs(max_df=...) exactly.
+_CLUSTER_MAX_DF = 100
+
+
+def _jaccard_capped_sql(max_df: int) -> str:
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    hot AS (
+      SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      WHERE df > {max_df}
+    ),
+    csh AS (SELECT s.* FROM sh s ANTI JOIN hot h ON s.shingle = h.shingle),
+    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM csh a JOIN csh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+"""
+
+
 # Quantized-integer embeddings (exact in doubles) — see llm/similarity.py.
 _QEMB = """
   SELECT vec_id,
@@ -79,6 +107,13 @@ _NEMB = f"WITH qe AS ({_QEMB}) SELECT vec_id, q, list_dot_product(q, q) AS n2 FR
 # the oracles track the corpus size the same way the Spark defaults do.
 _BITS = "(SELECT least(greatest(length(bin(count(*) // 8)), 4), 16) FROM embeddings)"
 _CENT_MOD = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+# Sampled-training stride: the EXACT integer rule of
+# llm/similarity.py:auto_train_mod re-expressed in SQL, same pattern as
+# _BITS/_CENT_MOD — ~16 training vectors per centroid.
+_TRAIN_MOD = (
+    "(SELECT greatest(1, count(*) // (16 * greatest(2, "
+    "CAST(floor(sqrt(count(*))) AS BIGINT)))) FROM embeddings)"
+)
 _SRP = f"""CAST(list_sum(list_transform(range(1, {_BITS} + 1),
       i -> CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"""
 # Hamming-1 multi-probe join arm: both buckets only carry bits below the
@@ -197,10 +232,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id")
 
 
-@query("dedup_ngram_jaccard", f"{_JACCARD} WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5")
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH jac AS ({_jaccard_capped_sql(_CLUSTER_MAX_DF)})
+    SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (≥0.5), blocked on shared
-    shingles — the shuffle key is the shingle, never all-pairs."""
+    """3-gram Jaccard near-dup pairs (≥0.5), blocked on shared shingles
+    — the shuffle key is the shingle, never all-pairs — with the
+    frequency cap (``max_df``, llm/dedup.py:with_max_df) that every
+    production miner in this pack carries: the exact join's cost is
+    Σdf² over shingle frequencies, and uncapped stop-shingles make that
+    superlinear in corpus size (measured exp 1.13 at 9× vs ≤0.7
+    capped — SCALE_FIT.json).  The UNCAPPED exact miner survives as
+    :func:`dedup_ngram_jaccard_exact` for truth-set duty
+    (``dedup_lsh_recall``, ``training_dedup_leakage``)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", 0.5, max_df=_CLUSTER_MAX_DF)
+
+
+@query("dedup_ngram_jaccard_exact", f"{_JACCARD} WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5")
+def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (uncapped) 3-gram Jaccard pairs — the truth-set miner.
+    Deliberately superlinear on hot shingles; use the capped
+    :func:`dedup_ngram_jaccard` or the LSH candidate path in pipelines."""
     d = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
 
@@ -558,14 +615,14 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 
 
-def _kmeans_iter_sql(cprev: str, k: int) -> str:
+def _kmeans_iter_sql(cprev: str, k: int, src: str = "n") -> str:
     return f"""
     a{k} AS (SELECT vec_id, q, n2, cent_id FROM (
       SELECT e.vec_id, e.q, e.n2, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) DESC,
                         c.cent_id) AS rn
-      FROM n e CROSS JOIN {cprev} c) WHERE rn = 1),
+      FROM {src} e CROSS JOIN {cprev} c) WHERE rn = 1),
     s{k} AS (SELECT cent_id, i, sum(q[i]) AS s, count(*) AS cnt
              FROM a{k} CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
     c{k} AS (SELECT cent_id, cq, list_dot_product(cq, cq) AS cn2 FROM (
@@ -597,11 +654,54 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-grid centroid update so both engines agree bit-for-bit);
     returns the final cell assignment with cell sizes.  The oracle
     hardcodes the 64-dim layout of the synthetic embeddings; the Spark
-    path is dimension-generic."""
+    path is dimension-generic.  Trains on the FULL corpus — n·√n pair
+    scores per iteration (measured exp ≈1.1 at 9×, SCALE_FIT.json);
+    the pinned exactness baseline for
+    :func:`ann_ivf_kmeans_sampled`, the linear-training scale path."""
     from experts_etl_spark.llm.similarity import kmeans_refined_assign
 
     e = read_table(spark, sf_dir, "embeddings")
     return kmeans_refined_assign(e, "vec_id", "embedding", iters=2)
+
+
+@query(
+    "ann_ivf_kmeans_sampled",
+    f"""
+    WITH n AS ({_NEMB}),
+    tr AS (
+      SELECT * FROM n
+      WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
+    ),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
+    {_kmeans_iter_sql('c0', 1, src='tr')},
+    {_kmeans_iter_sql('c1', 2, src='tr')},
+    fin AS (SELECT vec_id, cent_id, cos FROM (
+      SELECT e.vec_id, c.cent_id,
+             list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.q, c.cq) / sqrt(e.n2 * c.cn2) DESC,
+                        c.cent_id) AS rn
+      FROM n e CROSS JOIN c2 c) WHERE rn = 1)
+    SELECT vec_id, cent_id, cos,
+           CAST(count(*) OVER (PARTITION BY cent_id) AS BIGINT) AS n_members
+    FROM fin
+    """,
+)
+def ann_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_kmeans` with √n-proportional sampled TRAINING
+    (auto_train_mod — ~16 vectors per centroid, the FAISS norm): Lloyd
+    iterations score only the deterministic sample (O(n) total instead
+    of n·√n per iteration), then the FINAL assignment covers the full
+    corpus exactly as the pinned baseline does.  The oracle reproduces
+    the sampling rule integer-exactly, so the gate proves the sampled
+    path bit-for-bit — the same self-scaling-knob pattern as
+    ``auto_srp_bits``/``auto_cent_mod``."""
+    from experts_etl_spark.llm.similarity import kmeans_refined_assign
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_refined_assign(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
 
 
 @query(
@@ -747,30 +847,41 @@ def ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_ivf2_refined",
     f"""
     WITH n AS ({_NEMB}),
+    tr AS (
+      SELECT * FROM n
+      WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
+    ),
     c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
-    {_kmeans_iter_sql('c0', 1)},
-    {_kmeans_iter_sql('c1', 2)},
+    {_kmeans_iter_sql('c0', 1, src='tr')},
+    {_kmeans_iter_sql('c1', 2, src='tr')},
     cells AS (SELECT cent_id, cq, cn2 FROM c2),
     {_IVF2_SUPERS},
     {_IVF2_TAIL}
     """,
 )
 def ann_topk_ivf2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The refined ANN headline: Lloyd-TRAINED cells searched through
-    the two-level hierarchy (kmeans_refined_centroids → ivf2_topk) —
-    trained recall without flat IVF's n·√n assignment (the measured
-    exp≈1.1 term in ``ann_topk_ivf_refined``; the hierarchical
-    assignment is n^1.25).  Supers are the nested deterministic subset
-    of the trained cells (training preserves seed cent_ids, so the
-    stride rule — and with it the SQL twin — carries over); probes keep
-    exact nprobe assignment over the full trained cell set."""
+    """The refined ANN headline: Lloyd-trained cells searched through
+    the two-level hierarchy (kmeans_refined_centroids → ivf2_topk).
+    Both halves take their scale path: training runs on the
+    √n-proportional deterministic sample (auto_train_mod — ~16 vectors
+    per centroid, the FAISS norm; full-corpus training is n·√n per
+    iteration and measured exp≈1.0 end-to-end before sampling), search
+    assignment is hierarchical n^1.25 instead of flat IVF's n·√n (the
+    measured exp≈1.1 term in ``ann_topk_ivf_refined``).  Supers are the
+    nested deterministic subset of the trained cells (training
+    preserves seed cent_ids, so the stride rule — and with it the SQL
+    twin — carries over); probes keep exact nprobe assignment over the
+    full trained cell set.  Recall vs full training is pinned on the
+    clustered fixture in tests/test_llm_pack.py."""
     from experts_etl_spark.llm.similarity import (
         ivf2_topk,
         kmeans_refined_centroids,
     )
 
     e = read_table(spark, sf_dir, "embeddings")
-    cents = kmeans_refined_centroids(e, "vec_id", "embedding", iters=2)
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
     probes = e.filter(F.col("vec_id") < 16)
     return ivf2_topk(
         e, probes, "vec_id", "embedding", k=3, nprobe=2, centroids=cents
@@ -1365,34 +1476,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII redaction, Gopher repetition rules, domain-mixture resampling.
 # Operators live in llm/curation.py; each query is fully oracled.
 # ---------------------------------------------------------------------------
-
-# Frequency-capped exact-Jaccard twin (llm/dedup.py:with_max_df): drop
-# shingles present in more than MAX_DF docs, then size/intersect over
-# the capped universe — mirrors ngram_jaccard_pairs(max_df=...) exactly.
-_CLUSTER_MAX_DF = 100
-
-
-def _jaccard_capped_sql(max_df: int) -> str:
-    return f"""
-    WITH sh AS ({_SHINGLES}),
-    hot AS (
-      SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
-      WHERE df > {max_df}
-    ),
-    csh AS (SELECT s.* FROM sh s ANTI JOIN hot h ON s.shingle = h.shingle),
-    sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
-      FROM csh a JOIN csh b USING (shingle) WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id1, id2,
-           CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes s1 ON id1 = s1.doc_id
-    JOIN sizes s2 ON id2 = s2.doc_id
-"""
-
 
 @query(
     "dedup_cluster_resolution",
@@ -2285,46 +2368,16 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_dedup(index, new_batch, "text", "doc_id", 0.5)
 
 
-@query(
-    "dedup_lsh_recall",
-    f"""
-    WITH sh AS ({_SHINGLES}),
-    shx AS ({_SHINGLE_X}),
-    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
-    bands AS ({_BANDS}),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
-      WHERE a.doc_id < b.doc_id
-    ),
-    jac AS ({_JACCARD}),
-    truth AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
-    found AS (SELECT c.id1, c.id2 FROM cands c JOIN truth t USING (id1, id2))
-    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
-           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
-           CAST((SELECT count(*) FROM found) AS DOUBLE)
-             / greatest(CAST((SELECT count(*) FROM truth) AS DOUBLE), 1.0) AS recall,
-           CAST((SELECT count(*) FROM found) AS DOUBLE)
-             / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE), 1.0) AS precision
-    """,
-)
-def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Honest measurement for the dedup scale path (the ann_recall
-    pattern applied to text): MinHash-LSH banding's candidate recall
-    and precision against the EXACT shingle-Jaccard ≥0.5 truth set.
-    Recall tells you what the 4×4 banding misses (the S-curve's left
-    tail); precision tells you how much exact-verify work the bands
-    forward per true pair.  Both sides reuse the standalone operators,
-    so this query is also a cross-check that the banded path and the
-    exact path agree on the pairs they share."""
+def _lsh_recall_frame(d: DataFrame) -> DataFrame:
+    """Shared body of ``dedup_lsh_recall`` / ``dedup_lsh_recall_sampled``:
+    banded-candidate recall+precision of ``d`` against its exact
+    shingle-Jaccard ≥0.5 truth set."""
     from experts_etl_spark.llm.dedup import (
         lsh_candidates,
         ngram_jaccard_pairs,
         signature_shingle_sets,
     )
 
-    d = read_table(spark, sf_dir, "documents")
     truth = (
         ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
         .select("id1", "id2")
@@ -2363,6 +2416,108 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS ({_JACCARD}),
+    truth AS (SELECT id1, id2 FROM jac WHERE jaccard >= 0.5),
+    found AS (SELECT c.id1, c.id2 FROM cands c JOIN truth t USING (id1, id2))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM truth) AS DOUBLE), 1.0) AS recall,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE), 1.0) AS precision
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest measurement for the dedup scale path (the ann_recall
+    pattern applied to text): MinHash-LSH banding's candidate recall
+    and precision against the EXACT shingle-Jaccard ≥0.5 truth set.
+    Recall tells you what the 4×4 banding misses (the S-curve's left
+    tail); precision tells you how much exact-verify work the bands
+    forward per true pair.  Both sides reuse the standalone operators,
+    so this query is also a cross-check that the banded path and the
+    exact path agree on the pairs they share.  Exact truth over the
+    whole corpus — deliberately; :func:`dedup_lsh_recall_sampled` is
+    the 100 TB estimator."""
+    d = read_table(spark, sf_dir, "documents")
+    return _lsh_recall_frame(d)
+
+
+# Sampled twin: the same pipeline over the deterministic 1/3 hash
+# sample of documents.  The outer `sh` is sampled, and `jac` is built
+# from it directly (no nested full-corpus _JACCARD).
+_SH_SAMPLED = _SHINGLES.replace("FROM documents", "FROM sdocs")
+
+
+@query(
+    "dedup_lsh_recall_sampled",
+    f"""
+    WITH sdocs AS (
+      SELECT * FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0
+    ),
+    sh AS ({_SH_SAMPLED}),
+    shx AS ({_SHINGLE_X}),
+    sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS ({_BANDS}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id1, id2 FROM inter
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5
+    ),
+    found AS (SELECT c.id1, c.id2 FROM cands c JOIN truth t USING (id1, id2))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM truth) AS DOUBLE), 1.0) AS recall,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE), 1.0) AS precision
+    """,
+)
+def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB story for the recall audit: banding recall is a
+    PER-PAIR property (a pair's candidacy depends only on its two
+    signatures, never on the rest of the corpus), so measuring it on a
+    deterministic 1/3 hash sample of documents (md5-low-60-bits % 3 —
+    the same engine-portable hash as every sampling site, no rand())
+    estimates the population recall while the exact truth join pays
+    ~1/9 of the shared-shingle volume (both endpoints must survive,
+    p²).  Counts are the in-sample counts; recall/precision are ratio
+    estimates of the population values.  At production scale the
+    sampling modulus grows and the estimator is unchanged."""
+    from experts_etl_spark.llm.dedup import hex60
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        hex60(F.col("doc_id").cast("string")) % 3 == 0
+    )
+    return _lsh_recall_frame(d)
 
 
 @query(

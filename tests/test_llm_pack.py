@@ -241,7 +241,11 @@ def test_auto_knob_rules_match_sql_formulas_exactly():
     boundary neighborhoods (powers of two, perfect squares, +/-1)."""
     import duckdb
 
-    from experts_etl_spark.llm.similarity import auto_cent_mod, auto_srp_bits
+    from experts_etl_spark.llm.similarity import (
+        auto_cent_mod,
+        auto_srp_bits,
+        auto_train_mod,
+    )
 
     con = duckdb.connect()
     ns = set()
@@ -255,9 +259,51 @@ def test_auto_knob_rules_match_sql_formulas_exactly():
         for off in (-1, 0, 1):
             ns.add(sq * sq + off)
     for n in sorted(ns):
-        sql_bits, sql_mod = con.execute(
+        sql_bits, sql_mod, sql_tmod = con.execute(
             f"SELECT least(greatest(length(bin({n} // 8)), 4), 16),"
-            f" greatest(2, CAST(floor(sqrt({n})) AS BIGINT))"
+            f" greatest(2, CAST(floor(sqrt({n})) AS BIGINT)),"
+            f" greatest(1, {n} // (16 * greatest(2, CAST(floor(sqrt({n})) AS BIGINT))))"
         ).fetchone()
         assert auto_srp_bits(n) == sql_bits, n
         assert auto_cent_mod(n) == sql_mod, n
+        assert auto_train_mod(n) == sql_tmod, n
+
+
+def test_sampled_training_recall_matches_full_on_clustered(spark, tmp_path):
+    """ann_topk_ivf2_refined trains its quantizer on the
+    √n-proportional deterministic sample (auto_train_mod).  On the
+    clustered fixture (the realistic corpus shape) sampled training
+    must preserve the cluster structure: cell count unchanged (seeds
+    are unioned into the sample, so no cell empties out) and search
+    recall within a small margin of full-corpus training."""
+    from tools.gen_scaledata import generate
+
+    from experts_etl_spark.llm.similarity import (
+        ivf2_topk,
+        kmeans_refined_centroids,
+    )
+    from experts_etl_spark.sources import read_table
+
+    d = str(tmp_path / "clustered")
+    generate(d, docs=500, vecs=2000, seed=42, mode="clustered")
+    e = read_table(spark, d, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    full = kmeans_refined_centroids(e, "vec_id", "embedding", iters=2)
+    sampled = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
+    assert sampled.count() == full.count()
+    exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
+        "probe_id", "cand_id"
+    )
+    n_exact = exact.count()
+
+    def recall(cents):
+        got = ivf2_topk(
+            e, probes, "vec_id", "embedding", 3, centroids=cents
+        ).select("probe_id", "cand_id")
+        return exact.join(got, ["probe_id", "cand_id"]).count() / n_exact
+
+    r_full, r_sampled = recall(full), recall(sampled)
+    assert r_sampled >= r_full - 0.05, (r_full, r_sampled)
+    assert r_sampled >= 0.85, r_sampled

@@ -484,3 +484,71 @@ def test_streaming_curation_near_dup_across_batches(spark, tmp_path):
     store = spark.read.parquet(os.path.join(keep, "_signatures"))
     assert {r["doc_id"] for r in store.select("doc_id").collect()} == {1, 3, 12}
     assert store.select("batch_id").distinct().count() == 2
+
+
+def test_streaming_curation_backfill_replay_keeps_current_batch(
+    spark, tmp_path
+):
+    """At-least-once replay of batch N coinciding with the one-time
+    fingerprint backfill (side-table upgrade, or fp_dir lost): the
+    backfill must NOT fold the first attempt's own keep partition into
+    batch_id=-1, or every doc in the replayed batch self-matches as
+    'duplicate' and the keep partition is overwritten with nothing —
+    permanent data loss.  Simulated as: run once (one file = one
+    batch), then delete fp_dir AND the checkpoint so the same file
+    replays as batch 0 against a keep_dir that already holds its first
+    attempt."""
+    import glob
+    import shutil
+
+    from experts_etl_spark.streaming import run_streaming_curation
+
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "red green blue cyan magenta yellow black white gray"),
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    spark.createDataFrame(
+        [(d, t, "en", "s0") for d, t in rows],
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+        feed / "docs_0.parquet",
+    )
+    os.utime(feed / "docs_0.parquet", (1_700_000_000,) * 2)
+
+    keep, reject = str(tmp_path / "keep"), str(tmp_path / "reject")
+
+    def run(ckpt):
+        run_streaming_curation(
+            spark,
+            str(feed),
+            keep_dir=keep,
+            reject_dir=reject,
+            checkpoint_dir=str(tmp_path / ckpt),
+            quality_min=0.0,
+        )
+
+    run("ckpt_1")
+    first = spark.read.parquet(keep)
+    first_ids = {r["doc_id"] for r in first.collect()}
+    assert first_ids == {1, 2, 3}
+
+    # Upgrade/loss scenario: side table gone, checkpoint gone → the
+    # same file replays as batch 0 while keep_dir/batch_id=0 exists.
+    shutil.rmtree(os.path.join(keep, "_fingerprints"))
+    run("ckpt_2")
+
+    replay = spark.read.parquet(keep)
+    assert {r["doc_id"] for r in replay.collect()} == first_ids
+    # nothing self-rejected as duplicate on the replay
+    rejected = spark.read.parquet(reject)
+    assert rejected.filter(F.col("reject_reason") == "duplicate").count() == 0
+    # backfill side table rebuilt and consistent with the kept corpus
+    fp_side = spark.read.parquet(os.path.join(keep, "_fingerprints"))
+    side_fps = {r["fp"] for r in fp_side.select("fp").distinct().collect()}
+    kept_fps = {r["fp"] for r in replay.select("fp").distinct().collect()}
+    assert side_fps == kept_fps
