@@ -187,6 +187,75 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id1", "id2", "jaccard")
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (≥ ``threshold``) via prefix filtering
+    — the AllPairs/PPJoin candidate rule (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08), the scale path that replaces both the naive
+    shingle-blocked join and the lossy ``max_df`` cap.
+
+    Rule: order every shingle by global rarity (ascending document
+    frequency, shingle text as tie-break).  For Jaccard(A,B) ≥ t the
+    overlap satisfies |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so — by the prefix
+    lemma under any single global order — A and B must share a shingle
+    inside BOTH prefixes of length |X| − ⌈t·|X|⌉ + 1.  Blocking the
+    self-join on prefix shingles only is therefore LOSSLESS (recall
+    1.0), yet the blocks are built from each document's *rarest*
+    shingles: the stop-shingles that made the naive join's Σdf² cost
+    superlinear (measured exp 1.2 even with max_df=100 — SCALE_FIT
+    round 7) never enter the join unless a document consists of nothing
+    else.  Candidates are then verified exactly with one
+    ``array_intersect`` over the full shingle sets — JVM-side, no UDF.
+
+    Scale shape: every stage is a keyed linear pass (df count on
+    shingle, one window on doc, candidate join on rare-shingle blocks,
+    two hash joins on doc id).  No broadcast of anything
+    corpus-proportional; skewed prefix blocks split under AQE.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(df, text_col, id_col).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    win = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.row_number().over(win).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    ).select(id_col, "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    sets_ = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shs"))
+    s1 = sets_.select(F.col(id_col).alias("id1"), F.col("shs").alias("sh1"))
+    s2 = sets_.select(F.col(id_col).alias("id2"), F.col("shs").alias("sh2"))
+    verified = (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id1", "id2", "jaccard"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH
 ) -> DataFrame:

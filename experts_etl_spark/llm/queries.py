@@ -12,6 +12,7 @@ from experts_etl_spark.llm.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_pairs,
 )
 from experts_etl_spark.llm.multimodal import (
@@ -232,32 +233,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH jac AS ({_jaccard_capped_sql(_CLUSTER_MAX_DF)})
-    SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.5
-    """,
+_JACCARD_05 = (
+    f"{_JACCARD} WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE)"
+    " >= 0.5"
 )
+
+
+@query("dedup_ngram_jaccard", _JACCARD_05)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs (≥0.5), blocked on shared shingles
-    — the shuffle key is the shingle, never all-pairs — with the
-    frequency cap (``max_df``, llm/dedup.py:with_max_df) that every
-    production miner in this pack carries: the exact join's cost is
-    Σdf² over shingle frequencies, and uncapped stop-shingles make that
-    superlinear in corpus size (measured exp 1.13 at 9× vs ≤0.7
-    capped — SCALE_FIT.json).  The UNCAPPED exact miner survives as
-    :func:`dedup_ngram_jaccard_exact` for truth-set duty
-    (``dedup_lsh_recall``, ``training_dedup_leakage``)."""
+    """EXACT 3-gram Jaccard near-dup pairs (≥0.5) via prefix filtering
+    (llm/dedup.py:ngram_jaccard_pairs_prefix — AllPairs/PPJoin rule).
+    Rewritten in round 7: the previous design (shingle-blocked join,
+    then a max_df frequency cap) stayed superlinear — SCALE_FIT
+    measured exp 1.2 on the capped code because the mid-frequency
+    shingle mass itself grows superlinearly, so no cap value fixes the
+    Σdf² join (cap=10 still fits candidate-pair exp 1.17).  The prefix
+    filter blocks only on each document's RAREST ⌊(1−t)·n⌋+1 shingles,
+    which is provably lossless for Jaccard ≥ t, so the oracle here is
+    the plain uncapped exact SQL: the driver's hash compare proves
+    recall 1.0, not a relaxed capped-universe contract."""
     d = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", 0.5, max_df=_CLUSTER_MAX_DF)
+    return ngram_jaccard_pairs_prefix(d, "text", "doc_id", 0.5)
 
 
-@query("dedup_ngram_jaccard_exact", f"{_JACCARD} WHERE CAST(ni AS DOUBLE) / CAST(s1.n + s2.n - ni AS DOUBLE) >= 0.5")
+@query("dedup_ngram_jaccard_exact", _JACCARD_05)
 def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (uncapped) 3-gram Jaccard pairs — the truth-set miner.
-    Deliberately superlinear on hot shingles; use the capped
-    :func:`dedup_ngram_jaccard` or the LSH candidate path in pipelines."""
+    """Exact 3-gram Jaccard pairs, naive shingle-blocked formulation
+    (llm/dedup.py:ngram_jaccard_pairs, no cap) — kept as the pinned
+    O(Σdf²) baseline for :func:`dedup_ngram_jaccard`, whose prefix
+    filter produces the identical pair set at near-linear cost.
+    Deliberately superlinear on hot shingles; never used in pipelines."""
     d = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
 

@@ -64,6 +64,17 @@ def auto_train_mod(n_rows: int, per_centroid: int = 16) -> int:
     return max(1, n_rows // (per_centroid * max(2, math.isqrt(n_rows))))
 
 
+# Self-selection bound for sampled Lloyd training: corpora LARGER than
+# this train on the √n-proportional sample (auto_train_mod) by default;
+# smaller ones train full (the sample would barely undercut the corpus
+# and full training is exact).  2^16 vectors ≈ the point where full
+# training's n·√n pair scores (~2·10^7 per iteration) start dominating
+# the linear stages on a single executor; at 100 TB the default is
+# therefore always the sampled path.  Callers pin behavior explicitly
+# with train_mod="full" (baselines) or train_mod="auto" (force sample).
+TRAIN_AUTO_MIN = 1 << 16
+
+
 def auto_cent_mod(n_rows: int) -> int:
     """IVF centroid stride for a corpus of ``n_rows`` vectors:
     nlist ≈ √n (stride = isqrt(n)).  floor(sqrt(·)) matches SQL
@@ -534,17 +545,24 @@ def _kmeans_train(
 
     ``train_mod`` samples the TRAINING set (assignment + mean
     recompute) at stride ``train_mod`` — ``"auto"`` derives
-    :func:`auto_train_mod` from the corpus count; ``None`` trains on
-    the full corpus (the pinned legacy contract of
-    ``ann_ivf_kmeans``/``ann_topk_ivf_refined``).  Seed vectors are
+    :func:`auto_train_mod` from the corpus count; ``"full"`` trains on
+    the full corpus (the pinned contract of
+    ``ann_ivf_kmeans``/``ann_topk_ivf_refined``); ``None`` (the
+    out-of-the-box default) SELF-SELECTS: sampled training past
+    :data:`TRAIN_AUTO_MIN` rows, full below it — so a user who never
+    touches the knob gets O(n) training at scale.  Seed vectors are
     always unioned into the sample so every cell keeps at least its
     self-assigning seed (cos(seed, seed) = 1) and no cell empties out."""
-    need_count = cent_mod is None or train_mod == "auto"
+    need_count = cent_mod is None or train_mod in ("auto", None)
     n_rows = emb.count() if need_count else 0
     if cent_mod is None:
         cent_mod = auto_cent_mod(n_rows)
-    if train_mod == "auto":
+    if train_mod == "auto" or (
+        train_mod is None and n_rows > TRAIN_AUTO_MIN
+    ):
         train_mod = auto_train_mod(n_rows)
+    elif train_mod in (None, "full"):
+        train_mod = None
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("_q").alias("q"), F.col("_n2").alias("n2")
     )

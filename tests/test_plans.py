@@ -89,6 +89,8 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_topk_ivf",          # centroid set broadcast for cell assignment
         "ann_topk_ivf2",         # super/cell set broadcast, two-level assignment
         "ann_ivf_kmeans",        # centroid set broadcast per Lloyd iteration
+        "ann_ivf_kmeans_sampled",  # same centroid broadcast, sampled training
+        "dedup_lsh_recall_sampled",  # 1-row count aggregates cross-joined
         "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
         "ann_topk_ivf2_refined",  # trained super/cell broadcast, two-level
         "training_dedup_leakage_sampled",  # 1-row count aggs cross-joined

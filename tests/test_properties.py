@@ -254,6 +254,45 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
         assert abs(exact[pair] - j) < 1e-12
 
 
+@given(docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_prefix_filter_equals_naive_exact_jaccard(spark, docs):
+    """The AllPairs/PPJoin prefix filter is LOSSLESS: the prefix-blocked
+    miner must produce exactly the same pair set and scores as the naive
+    full-shingle-blocked exact join, at any threshold — the lemma says
+    two sets with Jaccard ≥ t always share a shingle inside both
+    rarity-ordered prefixes of length n − ⌈t·n⌉ + 1."""
+    from experts_etl_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    for threshold in (0.3, 0.5, 0.8):
+        exact = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold).collect()
+        }
+        pref = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs_prefix(
+                df, "text", "doc_id", threshold
+            ).collect()
+        }
+        assert pref.keys() == exact.keys(), (
+            f"t={threshold}: prefix lost {exact.keys() - pref.keys()}, "
+            f"invented {pref.keys() - exact.keys()}"
+        )
+        for pair, j in exact.items():
+            assert abs(pref[pair] - j) < 1e-12
+
+
 # --- round-4 curation operators -------------------------------------------
 
 edge_lists = st.lists(

@@ -75,6 +75,12 @@ def main() -> None:
     ap.add_argument("--docs1", type=int, default=5000)
     ap.add_argument("--vecs1", type=int, default=2000)
     ap.add_argument("--mults", default="1,3,9")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (default: whole PACK); "
+                         "names outside PACK are allowed for ad-hoc fits")
+    ap.add_argument("--merge", action="store_true",
+                    help="with --out and --only: merge rows into the existing "
+                         "file instead of overwriting it")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     assert mults[0] == 1, "the first multiplier must be the 1x base"
@@ -93,8 +99,9 @@ def main() -> None:
         generate(d, docs=args.docs1 * mult, vecs=args.vecs1 * mult, seed=42, mode="uniform")
         dirs[mult] = d
 
+    pack = args.only.split(",") if args.only else PACK
     results: dict[str, dict] = {}
-    for name in PACK:
+    for name in pack:
         fn = QUERIES[name]
         row = {}
         try:
@@ -155,6 +162,11 @@ def main() -> None:
         "queries": results,
     }
     if args.out:
+        if args.merge and os.path.exists(args.out):
+            with open(args.out) as fh:
+                prev = json.load(fh)
+            prev.setdefault("queries", {}).update(results)
+            out = prev
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=2)
     spark.stop()
