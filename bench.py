@@ -44,7 +44,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_winnow",
     "ann_topk_bucketed",
-    "ann_topk_ivf_refined",
+    # ann_topk_ivf_refined dropped r8: superseded flat-IVF baseline
+    # (n·√n assignment, exp 1.13); the production trained path is
+    # ann_topk_ivf2_refined below (r7 verdict item 4).
     "text_quality_metrics",
     "corpus_curation",
     # training-data pipeline extras (round 4)
@@ -75,6 +77,11 @@ HEADLINE = [
     # round-6 additions
     "ann_topk_ivf2_refined",
     "training_dedup_leakage_sampled",
+    # round-8 additions: the production scale paths rotated into the
+    # gate this round
+    "dedup_ngram_jaccard",       # AllPairs/PPJoin prefix-filter miner
+    "ann_ivf_kmeans_sampled",    # √n-sampled Lloyd training (O(n))
+    "dedup_lsh_recall_sampled",  # sampled recall audit
 ]
 
 

@@ -224,9 +224,14 @@ def ngram_jaccard_pairs_prefix(
         F.row_number().over(win).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
     )
+    # ceil guard: t·n that is mathematically an integer can round UP in
+    # binary (0.55·20 → 11.000000000000002 → ceil 12), shortening the
+    # prefix by one and breaking losslessness for pairs at exactly t.
     prefix = ranked.filter(
         F.col("rk")
-        <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+        <= F.col("n_sh")
+        - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
+        + 1
     ).select(id_col, "shingle")
     a = prefix.alias("a")
     b = prefix.alias("b")

@@ -24,25 +24,33 @@ for mod in (reference_queries, llm_queries):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update(mod.ORACLES)
 
-# The 50 gated slots — ROTATED in round 6 (VERDICT r5 items 1-5).  The
-# r2/r3, r4, and r5 windows are each green except encode_token_ids
-# (r5: driver-harness crash canonicalizing its array<bigint> column —
-# fixed this round by the ids_str projection).  This round keeps every
-# path CHANGED in round 6 gated — the funnel family (LSH-default pair
-# mining: training_corpus_pipeline, training_dedup_leakage), the
-# max_df-capped miners (dedup_cluster_resolution, dedup_winnow), the
-# refactored ivf2 (ann_topk_ivf2) and the reshaped encode_token_ids —
-# and swaps IN the two queries without a driver row:
-# dedup_cluster_resolution_lsh (registered after the r5 window) and the
-# NEW ann_topk_ivf2_refined (trained two-level headline).  Retired to
-# make room: span_dedup, stratified_sample (green r5, untouched this
-# round).  The registry holds 110 queries; with this window the union
-# of r02-r06 green rows covers 107 of them — the three without a
-# driver row stay ungated by design: encode_token_ids_arrays (driver
-# cannot canonicalize array columns; local parity green),
-# training_dedup_leakage_sampled and span_dedup-style retirees keep
-# local pytest parity (tests/test_oracle_parity.py runs ALL registered
-# queries, gated or not).
+# The 50 gated slots — ROTATED in round 8 (VERDICT r7 item 2, open
+# since r6).  Swapped IN the five queries that had never earned a
+# driver row: dedup_ngram_jaccard (REWRITTEN r7 to the AllPairs/PPJoin
+# prefix filter — its only prior row was r2-vintage against a
+# twice-superseded oracle), dedup_ngram_jaccard_exact (the pinned
+# naive baseline it must equal), ann_ivf_kmeans_sampled,
+# dedup_lsh_recall_sampled, training_dedup_leakage_sampled (the three
+# sampled 100 TB scale paths).  Retired to make room — each retiree's
+# operators stay proven by a denser still-gated query, and all keep
+# local sf0.001 parity via tests/test_oracle_parity.py (ALL registered
+# queries, gated or not):
+#   ann_topk_bucketed / ann_topk_ivf  → ann_recall gates the same
+#     bucketed_ann_topk / ivf_topk code paths on identical probes;
+#   ann_topk_ivf_refined → superseded baseline (r7 verdict); the
+#     trained-quantizer search is gated via ann_topk_ivf2_refined and
+#     full Lloyd training via ann_ivf_kmeans (train_mod="full" pinned
+#     round 8);
+#   dedup_minhash_lsh → the banded-LSH join is gated four ways:
+#     dedup_lsh_recall (same miner vs exact truth),
+#     dedup_incremental_ingest, dedup_cluster_resolution_lsh,
+#     training_corpus_pipeline (LSH-default funnel);
+#   person_sync_xml → F14/S7 stay gated via person_cycle_xml (the
+#     denser composite over the same renderer + sink).
+# With this window the r02-r08 union gives every registered query
+# except encode_token_ids_arrays (driver cannot canonicalize array
+# columns; ungated by design, ids_str twin gated) a driver row against
+# its CURRENT oracle — the r7 verdict's gate-hygiene invariant.
 GATE_ORDER = [
     # --- round-4 additions, kept gated --------------------------------
     "train_val_split",
@@ -68,12 +76,15 @@ GATE_ORDER = [
     "ann_topk_ivf2_refined",     # NEW: trained two-level headline
     "dedup_cluster_resolution_lsh",  # first driver row (r5 item 2)
     # --- ANN pack -------------------------------------------------------
-    "ann_topk_bucketed",
-    "ann_topk_ivf",
-    "ann_topk_ivf_refined",
     "ann_ivf_kmeans",
+    "ann_ivf_kmeans_sampled",     # r8: first driver row (sampled training)
     "embedding_near_dup_bucketed",
     "ann_recall",
+    # --- round-8 rotation: first driver rows ---------------------------
+    "dedup_ngram_jaccard",           # r7 prefix-filter rewrite, now gated
+    "dedup_ngram_jaccard_exact",     # pinned naive exact baseline
+    "dedup_lsh_recall_sampled",      # sampled recall audit (100 TB path)
+    "training_dedup_leakage_sampled",  # Horvitz-Thompson sampled audit
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5
@@ -85,12 +96,12 @@ GATE_ORDER = [
     "person_360",               # §3.2 end-to-end + A10
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
     "skew_tolerant_counts",     # salting / two-stage agg
-    "dedup_minhash_lsh",
     "user_sessions",            # sessionize over events (bench headline)
-    "person_sync_xml",          # F14 person template (bench headline)
     # corpus_curation & multimodal_metadata retired (green r4),
-    # span_dedup & stratified_sample retired (green r5) — components
-    # covered by the gated curation queries; all keep local parity
+    # span_dedup & stratified_sample retired (green r5),
+    # person_sync_xml, dedup_minhash_lsh, ann_topk_bucketed,
+    # ann_topk_ivf, ann_topk_ivf_refined retired (green r7, see header)
+    # — components covered by denser gated queries; all keep local parity
     # --- stalest proofs: r2/r3 window, no row since round 3 ------------
     "dedup_exact",
     "dedup_simhash",

@@ -307,3 +307,34 @@ def test_sampled_training_recall_matches_full_on_clustered(spark, tmp_path):
     r_full, r_sampled = recall(full), recall(sampled)
     assert r_sampled >= r_full - 0.05, (r_full, r_sampled)
     assert r_sampled >= 0.85, r_sampled
+
+
+def test_ivf2_search_over_materialized_index_matches_composed(spark):
+    """The r8 build/search split (ivf2_index + ivf2_search) must be a
+    pure factoring of ivf2_topk: searching over an eagerly-materialized
+    (localCheckpoint) index — exactly what tools/ann_split_timing.py
+    times and what a standing deployment does between reindexes —
+    returns the identical top-k as the composed one-shot query."""
+    from experts_etl_spark.llm.similarity import (
+        ivf2_index,
+        ivf2_search,
+        ivf2_topk,
+        kmeans_refined_centroids,
+    )
+    from experts_etl_spark.sources import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
+    composed = ivf2_topk(
+        e, probes, "vec_id", "embedding", 3, centroids=cents
+    ).collect()
+    cells, assignment = ivf2_index(e, "vec_id", "embedding", centroids=cents)
+    cells, assignment = cells.localCheckpoint(), assignment.localCheckpoint()
+    split = ivf2_search(
+        cells, assignment, probes, "vec_id", "embedding", 3
+    ).collect()
+    assert sorted(map(tuple, split)) == sorted(map(tuple, composed))
+    assert len(split) > 0

@@ -94,6 +94,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ann_topk_ivf_refined",  # trained-centroid broadcast for assignment
         "ann_topk_ivf2_refined",  # trained super/cell broadcast, two-level
         "training_dedup_leakage_sampled",  # 1-row count aggs cross-joined
+        "training_dedup_leakage_sampled_p8",  # same template, p = 1/8
         "ann_recall",            # brute-force baseline + 1-row agg cross joins
         "tfidf_topk_terms",      # corpus-size scalar broadcast for idf
         "dedup_lsh_recall",      # 1-row count aggregates cross-joined

@@ -274,7 +274,10 @@ def test_prefix_filter_equals_naive_exact_jaccard(spark, docs):
     df = spark.createDataFrame(
         [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
     )
-    for threshold in (0.3, 0.5, 0.8):
+    # 0.55 exercises the binary-rounding ceil guard: t·n for n=20 is
+    # 11.000000000000002 in doubles, which unguarded ceil rounds to 12,
+    # shortening the prefix and losing pairs at exactly t.
+    for threshold in (0.3, 0.5, 0.55, 0.8):
         exact = {
             (r.id1, r.id2): r.jaccard
             for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold).collect()

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Index-build vs search timing split for the trained two-level ANN
+headline (r7 verdict item 6).
+
+``ann_topk_ivf2_refined``'s SCALE_FIT exp ≈ 0.97 conflates two phases
+with different amortization stories: (re)indexing — Lloyd training +
+hierarchical corpus assignment, paid once per index rebuild — and
+search — probe assignment + the cent_id-blocked candidate join, paid
+per query batch.  This tool times them separately over the same
+deterministic generator scale_fit uses:
+
+* build:  kmeans_refined_centroids(train_mod="auto") + ivf2_index,
+  materialized with eager localCheckpoint (the timed action);
+* search: ivf2_search over the ALREADY-materialized index — the cost a
+  standing deployment pays per probe wave.
+
+Emits scale_fit-shaped rows ``ann_ivf2_refined_build`` /
+``ann_ivf2_refined_search`` (t{m}x, ratios, fitted exp) and merges
+them into SCALE_FIT.json with per-row run metadata.
+
+Usage: python tools/ann_split_timing.py [--out SCALE_FIT.json]
+       [--mults 1,3,9,27] [--vecs1 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fit(row: dict, mults: list[int]) -> None:
+    if row.get("t1x", 0) > 0:
+        for m in mults[1:]:
+            row[f"ratio{m}"] = round(row[f"t{m}x"] / row["t1x"], 2)
+        pts = [
+            (math.log(m), math.log(row[f"t{m}x"]))
+            for m in mults
+            if row[f"t{m}x"] > 0
+        ]
+        if len(pts) >= 2:
+            mx = sum(p[0] for p in pts) / len(pts)
+            my = sum(p[1] for p in pts) / len(pts)
+            den = sum((p[0] - mx) ** 2 for p in pts)
+            if den > 0:
+                row["exp"] = round(
+                    sum((p[0] - mx) * (p[1] - my) for p in pts) / den, 2
+                )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--vecs1", type=int, default=2000)
+    ap.add_argument("--mults", default="1,3,9,27")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    assert mults[0] == 1, "the first multiplier must be the 1x base"
+
+    from pyspark.sql import functions as F
+
+    from experts_etl_spark.llm.similarity import (
+        ivf2_index,
+        ivf2_search,
+        kmeans_refined_centroids,
+    )
+    from experts_etl_spark.session import get_spark
+    from tools.gen_scaledata import generate
+
+    spark = get_spark("ann_split_timing")
+    root = tempfile.mkdtemp(prefix="ann_split_")
+    build_row: dict = {}
+    search_row: dict = {}
+    for mult in mults:
+        d = f"{root}/x{mult}"
+        # docs are unused by the ANN path but the generator wants both
+        generate(d, docs=100, vecs=args.vecs1 * mult, seed=42, mode="uniform")
+        e = spark.read.parquet(f"{d}/embeddings.parquet")
+
+        def build():
+            cents = kmeans_refined_centroids(
+                e, "vec_id", "embedding", iters=2, train_mod="auto"
+            )
+            cells, assignment = ivf2_index(
+                e, "vec_id", "embedding", centroids=cents
+            )
+            # eager materialization IS the build cost
+            return cells.localCheckpoint(), assignment.localCheckpoint()
+
+        build()  # warm codegen/broadcast paths
+        bt, built = [], None
+        for _ in range(3):
+            t0 = time.time()
+            built = build()
+            bt.append(time.time() - t0)
+        build_row[f"t{mult}x"] = round(min(bt), 3)
+
+        cells, assignment = built
+        probes = e.filter(F.col("vec_id") < 16)
+
+        def search():
+            ivf2_search(
+                cells, assignment, probes, "vec_id", "embedding", k=3
+            ).count()
+
+        search()  # warm
+        stt = []
+        for _ in range(3):
+            t0 = time.time()
+            search()
+            stt.append(time.time() - t0)
+        search_row[f"t{mult}x"] = round(min(stt), 3)
+        print(
+            f"x{mult}: build={build_row[f't{mult}x']:.3f}s "
+            f"search={search_row[f't{mult}x']:.3f}s"
+        )
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    _fit(build_row, mults)
+    _fit(search_row, mults)
+    run_meta = {"mults": mults, "docs_1x": None, "vecs_1x": args.vecs1}
+    build_row["run"] = run_meta
+    search_row["run"] = run_meta
+    results = {
+        "ann_ivf2_refined_build": build_row,
+        "ann_ivf2_refined_search": search_row,
+    }
+    print(json.dumps(results, indent=2))
+    if args.out:
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                prev = json.load(fh)
+        else:
+            prev = {"queries": {}}
+        prev.setdefault("queries", {}).update(results)
+        with open(args.out, "w") as fh:
+            json.dump(prev, fh, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

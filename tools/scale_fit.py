@@ -66,6 +66,12 @@ PACK = [
     # round-6 additions
     "ann_topk_ivf2_refined",
     "training_dedup_leakage_sampled",
+    # round-8 additions: sampled scale paths now gated
+    "ann_ivf_kmeans_sampled",
+    "dedup_lsh_recall_sampled",
+    # production p = 1/8 sampling point — measured against the exact
+    # audit's row to demonstrate the ~p² cost win (r7 verdict item 7)
+    "training_dedup_leakage_sampled_p8",
 ]
 
 
@@ -113,6 +119,19 @@ def main() -> None:
                     fn(spark, d).count()
                     times.append(time.time() - t0)
                 row[f"t{mult}x"] = round(min(times), 3)
+                # Residue GC per MULT, not only per query: queries that
+                # localCheckpoint (the dedup/ANN pack) leave block-manager
+                # entries per run; after 4 runs each at the smaller mults
+                # the larger mults measure under that accumulated storage
+                # pressure.  Observed round 8: dedup_ngram_jaccard's 9×
+                # point measured 19.6s inside the loop vs 11.0s COLD in a
+                # fresh JVM — the "superlinear knee" was the harness, not
+                # the operator.
+                spark.catalog.clearCache()
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
             if row["t1x"] > 0:
                 for mult in mults[1:]:
                     row[f"ratio{mult}"] = round(row[f"t{mult}x"] / row["t1x"], 2)
@@ -165,6 +184,23 @@ def main() -> None:
         if args.merge and os.path.exists(args.out):
             with open(args.out) as fh:
                 prev = json.load(fh)
+            # The file's top-level metadata describes PREV's run; if
+            # this run used different generator params or multipliers,
+            # stamp them on each injected row so the merged file never
+            # misrepresents the conditions a row was measured under.
+            same_run = (
+                prev.get("mults") == mults
+                and prev.get("docs_1x") == args.docs1
+                and prev.get("vecs_1x") == args.vecs1
+            )
+            if not same_run:
+                run_meta = {
+                    "mults": mults,
+                    "docs_1x": args.docs1,
+                    "vecs_1x": args.vecs1,
+                }
+                for row in results.values():
+                    row["run"] = run_meta
             prev.setdefault("queries", {}).update(results)
             out = prev
         with open(args.out, "w") as fh:
