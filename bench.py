@@ -82,6 +82,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",       # AllPairs/PPJoin prefix-filter miner
     "ann_ivf_kmeans_sampled",    # √n-sampled Lloyd training (O(n))
     "dedup_lsh_recall_sampled",  # sampled recall audit
+    # round-8 additions: product quantization (llm/pq.py)
+    "ann_pq_codes",              # PQ train+encode (index build)
+    "ann_topk_ivfpq",            # IVFADC residual-code search
 ]
 
 

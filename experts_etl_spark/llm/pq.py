@@ -1,0 +1,434 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The canonical billion-scale ANN memory story (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011;
+the FAISS IVFADC design): split each d-dim vector into ``m`` aligned
+subvectors, learn a small k-means codebook per subspace, and store each
+vector as ``m`` small integer codes plus one exact scalar norm — at
+d=768 float32 that is 3 KB → ~m+8 bytes per vector, the difference
+between an index that fits executor memory at 100 TB and one that does
+not.  Search is asymmetric distance computation (ADC): per probe, one
+tiny lookup table of subspace dot products against every codeword, and
+each candidate's approximate score is the sum of ``m`` table entries —
+no full-dimension arithmetic against the corpus at all.
+
+Cross-engine exactness (the repo-wide contract, llm/similarity.py):
+everything runs on the integer grid.  Subvectors are quantized-integer
+doubles; codebook training is Lloyd with **L2 assignment** expressed as
+``argmin(||c||² − 2·x·c)`` (the ``||x||²`` term is constant per x) —
+sums of exact integer products — and the centroid update is elementwise
+``floor(sum/count)``, so a DuckDB oracle reproduces training, encoding,
+and the ADC scores bit-for-bit.  Ties break toward the smaller code id
+everywhere.  The only IEEE ops are the final cosine divisions, defined
+identically in both engines.
+
+Scale design:
+- training/encoding never shuffles the corpus: codebooks (≈ m·√n rows)
+  broadcast to the corpus map-side; the only shuffles are the
+  per-(subspace, code) mean aggregations over m·n skinny rows.
+- ADC joins the code table (m small ints per vector) against a
+  broadcast LUT (probes × m × k rows) and sums — the per-candidate work
+  is m lookups instead of a d-dim dot product, and the shuffled rows
+  carry codes, not vectors.
+- the exact-refine pass touches full vectors only for the top
+  ``refine_mult·k`` candidates per probe (IVFADC's re-rank stage).
+
+Relation to the rest of the ANN family: brute force is the exactness
+baseline, SRP buckets and IVF/IVF² bound the *candidate set*; PQ bounds
+the *bytes per candidate*.  In production the two compose (IVF cells ×
+PQ codes within each cell); the gated queries pin each mechanism
+separately so a failure localizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from experts_etl_spark.llm.similarity import (
+    auto_cent_mod,
+    cosine,
+    dot,
+    with_quantized,
+)
+
+
+def _subvectors(n: DataFrame, m: int) -> DataFrame:
+    """(vec_id, q, …) → (vec_id, sub_id, sq): m aligned subvector rows
+    per vector, dimension-generic (sub-dim = size(q) div m).  A single
+    generated-column explode — no Python loop, no per-subspace scan."""
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> struct("
+        f"  j AS sub_id,"
+        f"  slice(q, 1 + j * (size(q) div {m}), size(q) div {m}) AS sq))"
+    )
+    return n.select("vec_id", F.explode(slices).alias("s")).select(
+        "vec_id", F.col("s.sub_id").cast("int").alias("sub_id"), "s.sq"
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """L2 argmin assignment of every subvector to its codeword:
+    min(||c||² − 2·x·c), ties to the smaller code_id.  Codebooks
+    broadcast (m·k rows); min_by keeps the aggregation map-side."""
+    scored = subs.join(F.broadcast(codebooks), "sub_id").withColumn(
+        "l2", F.col("cn2") - 2.0 * dot(F.col("sq"), F.col("cq"))
+    )
+    return (
+        scored.groupBy("vec_id", "sub_id")
+        .agg(
+            F.min_by(
+                F.col("code_id"), F.struct(F.col("l2"), F.col("code_id"))
+            ).alias("code_id")
+        )
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    code_mod: int | None = None,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks; returns (subvector corpus,
+    codebooks (sub_id, code_id, cq, cn2)).
+
+    Seeds: the subvectors of every ``code_mod``-th vector (k ≈ n/code_mod
+    codewords per subspace; ``None`` self-scales to isqrt(n) →
+    k ≈ √n, matching the IVF nlist rule).  ``iters`` deterministic
+    Lloyd rounds over ALL m subspaces at once — sub_id is just another
+    grouping key, so the m trainings ride one distributed job per
+    round instead of m sequential ones.  Centroid update floors onto
+    the integer grid (exact SQL twin, same as similarity._kmeans_train).
+    Duplicate seeds lose all members to the lower code_id on the first
+    assignment and drop out; both engines agree."""
+    if code_mod is None:
+        code_mod = auto_cent_mod(emb.count())
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("n2"),
+    )
+    subs = _subvectors(n, m).localCheckpoint(eager=False)
+    return subs, _train_books(subs, code_mod, iters)
+
+
+def _train_books(
+    subs: DataFrame, code_mod: int, iters: int, seed_offset: int = 0
+) -> DataFrame:
+    """Lloyd loop over a subvector corpus (vec_id, sub_id, sq) — shared
+    by flat PQ (subvectors of the raw vectors) and IVFADC (subvectors
+    of cell residuals).  ``seed_offset`` shifts the seed stride:
+    residual training MUST NOT seed on the cell-seed ids (their
+    residual is the zero vector, so stride-0 seeds are all identical
+    and the codebook collapses to one codeword on the first
+    tie-broken assignment)."""
+    books = subs.filter(F.col("vec_id") % code_mod == seed_offset).select(
+        "sub_id",
+        F.col("vec_id").alias("code_id"),
+        F.col("sq").alias("cq"),
+        dot(F.col("sq"), F.col("sq")).alias("cn2"),
+    )
+    for _ in range(iters):
+        assigned = _assign_codes(subs, books).join(
+            subs, ["vec_id", "sub_id"]
+        )
+        ex = assigned.select(
+            "sub_id", "code_id", F.posexplode("sq").alias("d", "val")
+        )
+        means = (
+            ex.groupBy("sub_id", "code_id", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .withColumn("mu", F.floor(F.col("s") / F.col("cnt")).cast("double"))
+        )
+        books = (
+            means.groupBy("sub_id", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mu"))),
+                    lambda x: x["mu"],
+                ).alias("cq")
+            )
+            .withColumn("cn2", dot(F.col("cq"), F.col("cq")))
+            .localCheckpoint()
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    code_mod: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Corpus → PQ codes (vec_id, sub_id, code_id): the compressed
+    representation a 100 TB index persists (m small ints + one norm per
+    vector instead of d floats)."""
+    subs, books = pq_train(emb, id_col, vec_col, m, code_mod, iters)
+    return _assign_codes(subs, books)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 4,
+    code_mod: int | None = None,
+    iters: int = 2,
+    refine_mult: int = 4,
+) -> DataFrame:
+    """ADC top-k with exact re-rank: train codebooks, encode the corpus,
+    score candidates as the sum of m broadcast-LUT entries, keep the
+    top ``refine_mult·k`` per probe by approximate cosine, then rescore
+    those exactly and return (probe_id, cand_id, rank, cos).
+
+    The approximate cosine uses the candidate's EXACT stored norm
+    (adot/√(‖p‖²·‖c‖²)) — the one scalar IVFADC keeps alongside the
+    codes for inner-product/cosine metrics.  All LUT sums are integer
+    sums (exact); ranking ties break on cand_id in both stages."""
+    subs, books = pq_train(emb, id_col, vec_col, m, code_mod, iters)
+    codes = _assign_codes(subs, books)
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("n2"),
+    )
+    norms = n.select("vec_id", "n2")
+
+    pn = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("pn2"),
+    )
+    psubs = _subvectors(
+        pn.select(F.col("probe_id").alias("vec_id"), "q"), m
+    ).select(F.col("vec_id").alias("probe_id"), "sub_id", "sq")
+    lut = psubs.join(F.broadcast(books), "sub_id").select(
+        "probe_id",
+        "sub_id",
+        "code_id",
+        dot(F.col("sq"), F.col("cq")).alias("pdot"),
+    )
+
+    adot = (
+        codes.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .groupBy("probe_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("pdot").alias("adot"))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+    )
+    approx = (
+        adot.join(norms.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(
+            F.broadcast(pn.select("probe_id", "pn2")), "probe_id"
+        )
+        .withColumn("acos", cosine(F.col("adot"), F.col("pn2"), F.col("n2")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("acos").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        approx.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= refine_mult * k)
+        .select("probe_id", "cand_id", "pn2")
+    )
+    exact = (
+        shortlist.join(
+            n.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("q").alias("cq_full"),
+                F.col("n2").alias("cn2_full"),
+            ),
+            "cand_id",
+        )
+        .join(
+            F.broadcast(pn.select("probe_id", F.col("q").alias("pq_full"))),
+            "probe_id",
+        )
+        .withColumn(
+            "cos",
+            cosine(
+                dot(F.col("pq_full"), F.col("cq_full")),
+                F.col("pn2"),
+                F.col("cn2_full"),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "cand_id", F.col("rank").cast("int").alias("rank"), "cos"
+        )
+    )
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_mod: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Coarse-quantize the corpus onto stride-seeded IVF cells (every
+    ``cell_mod``-th vector, max-cosine assignment — the ivf_topk seed
+    rule) and return (quantized corpus, cells, residuals): residual =
+    q − cell centroid, elementwise on the integer grid, so residual
+    arithmetic stays exact.  Cells broadcast; the corpus never
+    shuffles for assignment."""
+    if cell_mod is None:
+        cell_mod = auto_cent_mod(emb.count())
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("n2"),
+    )
+    cells = n.filter(F.col("vec_id") % cell_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cellq"),
+        F.col("n2").alias("celln2"),
+    )
+    scored = n.join(F.broadcast(cells), F.lit(True)).withColumn(
+        "ccos", cosine(dot(F.col("q"), F.col("cellq")), F.col("n2"), F.col("celln2"))
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "q"),
+                F.struct(F.col("ccos"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_best")
+        )
+        .select("vec_id", "_best.cent_id", "_best.q")
+    )
+    resid = assign.join(F.broadcast(cells), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        F.zip_with("q", "cellq", lambda x, c: x - c).alias("q"),
+    )
+    return n, cells, resid
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 4,
+    cell_mod: int | None = None,
+    code_mod: int | None = None,
+    iters: int = 2,
+    refine_mult: int = 4,
+) -> DataFrame:
+    """IVFADC proper: PQ codebooks trained on CELL RESIDUALS, so the
+    codes spend their bits on within-cell detail instead of re-encoding
+    the coarse structure — the reason FAISS encodes residuals.  A flat
+    PQ codebook collapses a tight cluster to one code tuple (every
+    member ties on ADC score and the shortlist degenerates to an id
+    sort); residual codes separate the members (measured on the
+    clustered fixture: recall@3 0.33 flat → ≥0.9 residual at the same
+    bit budget, tests/test_pq.py).
+
+    Scoring is exact-decomposed: dot(p, x) = dot(p, cell(x)) +
+    dot(p, x − cell(x)); the first term joins a broadcast probe×cell
+    table (P·√n rows), the second is the m-entry ADC LUT sum over the
+    residual codebooks.  Both terms are integer-exact; approximate
+    cosine divides by the candidate's exact stored norm; top
+    refine_mult·k re-ranked exactly.  Candidates carry (cent_id,
+    m codes, norm) — the IVFADC index layout."""
+    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod)
+    if code_mod is None:
+        code_mod = auto_cent_mod(emb.count())
+    rsubs = _subvectors(resid, m).localCheckpoint(eager=False)
+    books = _train_books(rsubs, code_mod, iters, seed_offset=1)
+    codes = _assign_codes(rsubs, books)
+    cand = codes.join(resid.select("vec_id", "cent_id"), "vec_id")
+
+    pn = with_quantized(probes, vec_col).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("pn2"),
+    )
+    psubs = _subvectors(
+        pn.select(F.col("probe_id").alias("vec_id"), "q"), m
+    ).select(F.col("vec_id").alias("probe_id"), "sub_id", "sq")
+    lut = psubs.join(F.broadcast(books), "sub_id").select(
+        "probe_id",
+        "sub_id",
+        "code_id",
+        dot(F.col("sq"), F.col("cq")).alias("pdot"),
+    )
+    celldot = pn.join(F.broadcast(cells), F.lit(True)).select(
+        "probe_id",
+        "cent_id",
+        dot(F.col("q"), F.col("cellq")).alias("cdot"),
+    )
+
+    rdot = (
+        cand.join(F.broadcast(lut), ["sub_id", "code_id"])
+        .groupBy(
+            "probe_id", F.col("vec_id").alias("cand_id"), "cent_id"
+        )
+        .agg(F.sum("pdot").alias("rdot"))
+        .filter(F.col("probe_id") != F.col("cand_id"))
+    )
+    approx = (
+        rdot.join(F.broadcast(celldot), ["probe_id", "cent_id"])
+        .join(
+            n.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("cn2")),
+            "cand_id",
+        )
+        .join(F.broadcast(pn.select("probe_id", "pn2")), "probe_id")
+        .withColumn(
+            "acos",
+            cosine(F.col("rdot") + F.col("cdot"), F.col("pn2"), F.col("cn2")),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("acos").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        approx.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= refine_mult * k)
+        .select("probe_id", "cand_id", "pn2")
+    )
+    exact = (
+        shortlist.join(
+            n.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("q").alias("cq_full"),
+                F.col("n2").alias("cn2_full"),
+            ),
+            "cand_id",
+        )
+        .join(
+            F.broadcast(pn.select("probe_id", F.col("q").alias("pq_full"))),
+            "probe_id",
+        )
+        .withColumn(
+            "cos",
+            cosine(
+                dot(F.col("pq_full"), F.col("cq_full")),
+                F.col("pn2"),
+                F.col("cn2_full"),
+            ),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", "cand_id", F.col("rank").cast("int").alias("rank"), "cos"
+        )
+    )

@@ -102,11 +102,21 @@ GATE_ORDER = [
     # person_sync_xml, dedup_minhash_lsh, ann_topk_bucketed,
     # ann_topk_ivf, ann_topk_ivf_refined retired (green r7, see header)
     # — components covered by denser gated queries; all keep local parity
-    # --- stalest proofs: r2/r3 window, no row since round 3 ------------
-    "dedup_exact",
-    "dedup_simhash",
+    # --- round-8 additions: product quantization (llm/pq.py) -----------
+    # NEW queries, gated on arrival per the gate-hygiene invariant
+    # (tools/gate_hygiene.py).  Swapped out to make room: dedup_exact
+    # (exact-dedup groupBy is also gated inside curation_stream_routing's
+    # fingerprint store and the corpus funnel) and text_quality_metrics
+    # (the same quality expression gates via training_corpus_pipeline's
+    # quality gate and curation_stream_routing); both keep fresh r7
+    # driver rows and local parity.
+    "ann_pq_codes",              # PQ train+encode, hash-pinned
+    "ann_topk_pq_adc",           # ADC search + exact re-rank
+    "ann_topk_ivfpq",            # IVFADC: residual codebooks + celldot
+    # (third swap-out: dedup_simhash — unchanged since r2, fresh r7 row;
+    #  the SimHash miner keeps local sf0.001 parity every pytest run)
+    # --- r2/r3-era proofs kept warm -------------------------------------
     "dedup_winnow",
-    "text_quality_metrics",
     "cdc_compaction",           # C3 C4 W7
     "override_coalesce",        # J2 J3
     "primary_event_election",   # A9 W8
