@@ -23,9 +23,14 @@ everywhere.  The only IEEE ops are the final cosine divisions, defined
 identically in both engines.
 
 Scale design:
-- training/encoding never shuffles the corpus: codebooks (≈ m·√n rows)
-  broadcast to the corpus map-side; the only shuffles are the
-  per-(subspace, code) mean aggregations over m·n skinny rows.
+- codebooks are FIXED-SIZE (m·k rows, k = :data:`PQ_K` — a bit-budget
+  knob that does not grow with the corpus), so training and encoding
+  cost a constant m·k subspace dots per vector: exactly linear.
+- training/encoding never shuffles the corpus: codebooks broadcast to
+  the corpus map-side; the only shuffles are the per-(subspace, code)
+  mean aggregations over m·n skinny rows.
+- the IVFADC coarse assignment goes through the two-level hierarchy
+  (similarity.ivf2_index, n^1.25), not the flat n·√n scan.
 - ADC joins the code table (m small ints per vector) against a
   broadcast LUT (probes × m × k rows) and sums — the per-candidate work
   is m lookups instead of a d-dim dot product, and the shuffled rows
@@ -46,11 +51,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from experts_etl_spark.llm.similarity import (
-    auto_cent_mod,
     cosine,
     dot,
+    ivf2_index,
     with_quantized,
 )
+
+# Fixed per-subspace codebook size (FAISS uses 256; 64 keeps the gate
+# corpora meaningful).  PQ codebooks do NOT grow with the corpus — k is
+# a BIT-BUDGET knob, not a partitioning knob: with k ≈ √n (the IVF
+# nlist rule, wrongly borrowed here at first) training and encoding
+# score n·m·√n codeword pairs — measured exp 1.25 / 60× cost at 27×
+# data (SCALE.md round-8) — while a fixed k makes both exactly linear
+# with a constant m·k dots per vector.
+PQ_K = 64
+
+
+def auto_code_mod(n_rows: int, k: int = PQ_K) -> int:
+    """Seed stride for a ~``k``-codeword-per-subspace codebook:
+    ``max(2, n // k)``.  Integer-exact SQL twin:
+    ``greatest(2, count(*) // k)``."""
+    return max(2, n_rows // k)
 
 
 def _subvectors(n: DataFrame, m: int) -> DataFrame:
@@ -95,17 +116,20 @@ def pq_train(
     """Train per-subspace codebooks; returns (subvector corpus,
     codebooks (sub_id, code_id, cq, cn2)).
 
-    Seeds: the subvectors of every ``code_mod``-th vector (k ≈ n/code_mod
-    codewords per subspace; ``None`` self-scales to isqrt(n) →
-    k ≈ √n, matching the IVF nlist rule).  ``iters`` deterministic
-    Lloyd rounds over ALL m subspaces at once — sub_id is just another
-    grouping key, so the m trainings ride one distributed job per
-    round instead of m sequential ones.  Centroid update floors onto
-    the integer grid (exact SQL twin, same as similarity._kmeans_train).
-    Duplicate seeds lose all members to the lower code_id on the first
+    Seeds: the subvectors of every ``code_mod``-th vector (k ≈
+    n/code_mod codewords per subspace; ``None`` self-scales to
+    :func:`auto_code_mod` — a FIXED k ≈ :data:`PQ_K` codebook, the
+    FAISS rule: k is a bit-budget knob, so training and encoding cost
+    a constant m·k subspace dots per vector and stay exactly linear in
+    the corpus).  ``iters`` deterministic Lloyd rounds over ALL m
+    subspaces at once — sub_id is just another grouping key, so the m
+    trainings ride one distributed job per round instead of m
+    sequential ones.  Centroid update floors onto the integer grid
+    (exact SQL twin, same as similarity._kmeans_train).  Duplicate
+    seeds lose all members to the lower code_id on the first
     assignment and drop out; both engines agree."""
     if code_mod is None:
-        code_mod = auto_cent_mod(emb.count())
+        code_mod = auto_code_mod(emb.count())
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
@@ -170,6 +194,31 @@ def pq_encode(
     vector instead of d floats)."""
     subs, books = pq_train(emb, id_col, vec_col, m, code_mod, iters)
     return _assign_codes(subs, books)
+
+
+def pq_encode_incremental(
+    new_emb: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+) -> DataFrame:
+    """Encode a NEW batch against an EXISTING (materialized) codebook —
+    the incremental index-maintenance path a streaming ingest takes:
+    no retraining, no touch of the already-indexed corpus; the batch
+    maps through the broadcast books and appends its m skinny code rows
+    plus one exact norm per vector (the asymmetric-band-join analogue
+    of ``dedup_incremental_ingest``).  Returns (vec_id, sub_id,
+    code_id, n2).  Codebook drift from ingesting a shifted distribution
+    is a rebuild trigger, not an encode-time concern — exactly as in a
+    FAISS deployment."""
+    n = with_quantized(new_emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("n2"),
+    )
+    subs = _subvectors(n, m)
+    return _assign_codes(subs, books).join(n.select("vec_id", "n2"), "vec_id")
 
 
 def pq_adc_topk(
@@ -277,81 +326,106 @@ def ivf_residuals(
     vec_col: str,
     cell_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Coarse-quantize the corpus onto stride-seeded IVF cells (every
-    ``cell_mod``-th vector, max-cosine assignment — the ivf_topk seed
-    rule) and return (quantized corpus, cells, residuals): residual =
-    q − cell centroid, elementwise on the integer grid, so residual
-    arithmetic stays exact.  Cells broadcast; the corpus never
-    shuffles for assignment."""
-    if cell_mod is None:
-        cell_mod = auto_cent_mod(emb.count())
+    """Coarse-quantize the corpus onto stride-seeded IVF cells through
+    the TWO-LEVEL hierarchy (:func:`~experts_etl_spark.llm.similarity.
+    ivf2_index`: each vector scores ~n^(1/4) supers, then only its
+    super's cells — n^1.25 assignment instead of the flat n·√n that
+    made ``ann_topk_ivf_refined`` a measured exp-1.13 scale-killer) and
+    return (quantized corpus, cells, residuals): residual = q − cell
+    centroid, elementwise on the integer grid, so residual arithmetic
+    stays exact.  Cells broadcast; the corpus never shuffles for
+    assignment.  ``cell_mod`` pins an explicit seed stride (an external
+    index contract); ``None`` self-scales to nlist ≈ √n."""
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
         F.col("_n2").alias("n2"),
     )
-    cells = n.filter(F.col("vec_id") % cell_mod == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("q").alias("cellq"),
-        F.col("n2").alias("celln2"),
-    )
-    scored = n.join(F.broadcast(cells), F.lit(True)).withColumn(
-        "ccos", cosine(dot(F.col("q"), F.col("cellq")), F.col("n2"), F.col("celln2"))
-    )
-    assign = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cent_id", "q"),
-                F.struct(F.col("ccos"), (-F.col("cent_id")).alias("_nc")),
-            ).alias("_best")
+    centroids = None
+    if cell_mod is not None:
+        centroids = n.filter(F.col("vec_id") % cell_mod == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("q").alias("centq"),
+            F.col("n2").alias("centn2"),
         )
-        .select("vec_id", "_best.cent_id", "_best.q")
-    )
-    resid = assign.join(F.broadcast(cells), "cent_id").select(
-        "vec_id",
+    cells2, assignment = ivf2_index(emb, id_col, vec_col, centroids)
+    cells = cells2.select(
         "cent_id",
-        F.zip_with("q", "cellq", lambda x, c: x - c).alias("q"),
+        F.col("cq").alias("cellq"),
+        F.col("cn2").alias("celln2"),
+    )
+    resid = assignment.join(F.broadcast(cells), "cent_id").select(
+        F.col("cand_id").alias("vec_id"),
+        "cent_id",
+        F.zip_with("cq2", "cellq", lambda x, c: x - c).alias("q"),
     )
     return n, cells, resid
 
 
-def ivfpq_topk(
+def ivfpq_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    cell_mod: int | None = None,
+    code_mod: int | None = None,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build side of IVFADC: returns ``(cells, books, index)`` — the
+    three frames a deployment materializes and amortizes across every
+    search batch until the next (re)index:
+
+    - ``cells``  (cent_id, cellq, celln2): the ~√n coarse centroids;
+    - ``books``  (sub_id, code_id, cq, cn2): m residual codebooks,
+      ~m·√n rows — both broadcastable at any corpus size;
+    - ``index``  (vec_id, cent_id, sub_id, code_id, n2): m skinny rows
+      per vector — the ENTIRE per-vector payload is a cell id, m code
+      ids and one exact norm; full vectors are never part of the
+      standing index (the refine stage point-reads them for the
+      shortlist only).
+
+    This is the near-linear build phase: every vector scores ~2·n^(1/4)
+    coarse centroids once (the two-level hierarchy) and a CONSTANT m·k
+    codewords per Lloyd round (fixed-k codebooks, :func:`auto_code_mod`);
+    search batches then never touch full-dimension corpus data."""
+    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod)
+    if code_mod is None:
+        code_mod = auto_code_mod(emb.count())
+    rsubs = _subvectors(resid, m).localCheckpoint(eager=False)
+    books = _train_books(rsubs, code_mod, iters, seed_offset=1)
+    index = (
+        _assign_codes(rsubs, books)
+        .join(resid.select("vec_id", "cent_id"), "vec_id")
+        .join(n.select("vec_id", "n2"), "vec_id")
+    )
+    return cells, books, index
+
+
+def ivfpq_search(
+    cells: DataFrame,
+    books: DataFrame,
+    index: DataFrame,
     emb: DataFrame,
     probes: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     m: int = 4,
-    cell_mod: int | None = None,
-    code_mod: int | None = None,
-    iters: int = 2,
     refine_mult: int = 4,
 ) -> DataFrame:
-    """IVFADC proper: PQ codebooks trained on CELL RESIDUALS, so the
-    codes spend their bits on within-cell detail instead of re-encoding
-    the coarse structure — the reason FAISS encodes residuals.  A flat
-    PQ codebook collapses a tight cluster to one code tuple (every
-    member ties on ADC score and the shortlist degenerates to an id
-    sort); residual codes separate the members (measured on the
-    clustered fixture: recall@3 0.33 flat → ≥0.9 residual at the same
-    bit budget, tests/test_pq.py).
-
-    Scoring is exact-decomposed: dot(p, x) = dot(p, cell(x)) +
-    dot(p, x − cell(x)); the first term joins a broadcast probe×cell
-    table (P·√n rows), the second is the m-entry ADC LUT sum over the
-    residual codebooks.  Both terms are integer-exact; approximate
-    cosine divides by the candidate's exact stored norm; top
-    refine_mult·k re-ranked exactly.  Candidates carry (cent_id,
-    m codes, norm) — the IVFADC index layout."""
-    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod)
-    if code_mod is None:
-        code_mod = auto_cent_mod(emb.count())
-    rsubs = _subvectors(resid, m).localCheckpoint(eager=False)
-    books = _train_books(rsubs, code_mod, iters, seed_offset=1)
-    codes = _assign_codes(rsubs, books)
-    cand = codes.join(resid.select("vec_id", "cent_id"), "vec_id")
-
+    """Probe side of IVFADC over a (possibly materialized) index from
+    :func:`ivfpq_index`: per probe, a broadcast LUT of subspace dots
+    against every codeword plus a broadcast probe×cell dot table, each
+    candidate scored as cdot + Σ LUT — one linear scan of the SKINNY
+    code index per batch, zero full-dimension corpus arithmetic — then
+    the top ``refine_mult·k`` re-ranked exactly against ``emb`` (point
+    reads of the shortlist's raw vectors).  Per-batch cost is what a
+    standing deployment pays per query wave."""
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_q").alias("q"),
+        F.col("_n2").alias("n2"),
+    )
     pn = with_quantized(probes, vec_col).select(
         F.col(id_col).alias("probe_id"),
         F.col("_q").alias("q"),
@@ -373,23 +447,19 @@ def ivfpq_topk(
     )
 
     rdot = (
-        cand.join(F.broadcast(lut), ["sub_id", "code_id"])
+        index.join(F.broadcast(lut), ["sub_id", "code_id"])
         .groupBy(
-            "probe_id", F.col("vec_id").alias("cand_id"), "cent_id"
+            "probe_id", F.col("vec_id").alias("cand_id"), "cent_id", "n2"
         )
         .agg(F.sum("pdot").alias("rdot"))
         .filter(F.col("probe_id") != F.col("cand_id"))
     )
     approx = (
         rdot.join(F.broadcast(celldot), ["probe_id", "cent_id"])
-        .join(
-            n.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("cn2")),
-            "cand_id",
-        )
         .join(F.broadcast(pn.select("probe_id", "pn2")), "probe_id")
         .withColumn(
             "acos",
-            cosine(F.col("rdot") + F.col("cdot"), F.col("pn2"), F.col("cn2")),
+            cosine(F.col("rdot") + F.col("cdot"), F.col("pn2"), F.col("n2")),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -431,4 +501,34 @@ def ivfpq_topk(
         .select(
             "probe_id", "cand_id", F.col("rank").cast("int").alias("rank"), "cos"
         )
+    )
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 4,
+    cell_mod: int | None = None,
+    code_mod: int | None = None,
+    iters: int = 2,
+    refine_mult: int = 4,
+) -> DataFrame:
+    """IVFADC end-to-end: :func:`ivfpq_index` then :func:`ivfpq_search`
+    — PQ codebooks trained on CELL RESIDUALS, so the codes spend their
+    bits on within-cell detail instead of re-encoding the coarse
+    structure (the reason FAISS encodes residuals; a flat PQ codebook
+    collapses a tight cluster to one code tuple and the shortlist
+    degenerates to an id sort).  Scoring is exact-decomposed:
+    dot(p, x) = dot(p, cell(x)) + dot(p, x − cell(x)); both terms are
+    integer-exact, the approximate cosine divides by the candidate's
+    exact stored norm, and the top ``refine_mult·k`` re-rank exactly.
+    Deployments call the two halves separately and amortize the index
+    (measured: search alone is flat across corpus growth — SCALE.md)."""
+    cells, books, index = ivfpq_index(
+        emb, id_col, vec_col, m, cell_mod, code_mod, iters
+    )
+    return ivfpq_search(
+        cells, books, index, emb, probes, id_col, vec_col, k, m, refine_mult
     )

@@ -620,6 +620,44 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_near_dup(e, "vec_id", "embedding", 0.35)
 
 
+@query(
+    "embedding_semantic_dedup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    )
+    SELECT e.vec_id, d.vec_id IS NULL AS kept
+    FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (llm/similarity.py:semantic_dedup):
+    greedy keep-one-representative-per-ε-ball over the SRP-blocked
+    near-dup pairs — a vector is dropped iff a lower-id vector sits
+    within cosine 0.35 among its blocked candidates (the paper's rule
+    made deterministic by id order; ε-chains keep their first member
+    per link rather than collapsing like connected components).
+    Returns the FULL corpus with a kept flag, the shape downstream
+    mixture/packing stages consume.  Blocking self-scales with the
+    corpus (auto_srp_bits), so the pair stage stays linear — the
+    embedding twin of the LSH-default text funnel."""
+    from experts_etl_spark.llm.similarity import semantic_dedup
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", "embedding", 0.35)
+
+
 def _kmeans_iter_sql(cprev: str, k: int, src: str = "n") -> str:
     return f"""
     a{k} AS (SELECT vec_id, q, n2, cent_id FROM (
@@ -917,6 +955,11 @@ def ann_topk_ivf2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-dim subvectors; per-subspace Lloyd training with L2 argmin
 # assignment (argmin(||c||² − 2·x·c), ties to the smaller code_id) and
 # floor-integer centroid updates — the PQ twin of _kmeans_iter_sql.
+# Codebook seed stride: FIXED k ≈ 64 codewords per subspace
+# (llm/pq.py:auto_code_mod — k is a bit-budget knob and must not grow
+# with the corpus, or train/encode go n·√n; measured exp 1.25 before
+# the fix, SCALE.md round-8).
+_PQ_CODE_MOD = "(SELECT greatest(2, count(*) // 64) FROM embeddings)"
 _PQ_SUBS = """
     subs AS (
       SELECT vec_id, CAST(j AS INT) AS sub_id,
@@ -940,11 +983,12 @@ def _pq_iter_sql(cprev: str, k: int, src: str = "subs", tag: str = "p") -> str:
         SELECT sub_id, code_id, i, floor(s / cnt) AS m FROM {tag}s{k}) GROUP BY 1, 2))"""
 
 
-_PQ_TRAIN = f"""
+def _pq_train_sql(code_mod_sql: str) -> str:
+    return f"""
     {_PQ_SUBS},
     pc0 AS (SELECT sub_id, vec_id AS code_id, sq AS cq,
                    list_dot_product(sq, sq) AS cn2
-            FROM subs WHERE vec_id % {_CENT_MOD} = 0),
+            FROM subs WHERE vec_id % {code_mod_sql} = 0),
     {_pq_iter_sql('pc0', 1)},
     {_pq_iter_sql('pc1', 2)},
     enc AS (SELECT vec_id, sub_id, code_id FROM (
@@ -953,6 +997,9 @@ _PQ_TRAIN = f"""
                ORDER BY c.cn2 - 2 * list_dot_product(s.sq, c.cq) ASC,
                         c.code_id) AS rn
       FROM subs s JOIN pc2 c ON s.sub_id = c.sub_id) WHERE rn = 1)"""
+
+
+_PQ_TRAIN = _pq_train_sql(_PQ_CODE_MOD)
 
 
 @query(
@@ -965,19 +1012,70 @@ _PQ_TRAIN = f"""
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoder (llm/pq.py:pq_encode): per-subspace
-    Lloyd codebooks (m=4 subspaces, k ≈ √n codewords each, seeds every
-    isqrt(n)-th vector's subvectors, 2 deterministic iterations on the
-    integer grid), then every corpus vector compressed to m code ids —
-    the representation a 100 TB vector index persists: m small ints +
-    one exact norm per vector instead of d floats (~50× smaller at
-    d=64, ~200× at d=768).  L2 assignment is argmin(||c||² − 2·x·c) in
-    exact integer arithmetic, so the whole train+encode pipeline is
-    hash-pinned against the SQL twin; the Spark path is
-    dimension-generic while the oracle hardcodes the 64-dim layout."""
+    Lloyd codebooks (m=4 subspaces, FIXED k ≈ 64 codewords each —
+    auto_code_mod; k is a bit-budget knob, so train+encode cost a
+    constant m·k subspace dots per vector and stay exactly linear in
+    the corpus — seeds every (n//64)-th vector's subvectors, 2
+    deterministic iterations on the integer grid), then every corpus
+    vector compressed to m code ids — the representation a 100 TB
+    vector index persists: m small ints + one exact norm per vector
+    instead of d floats (~50× smaller at d=64, ~200× at d=768).  L2
+    assignment is argmin(||c||² − 2·x·c) in exact integer arithmetic,
+    so the whole train+encode pipeline is hash-pinned against the SQL
+    twin; the Spark path is dimension-generic while the oracle
+    hardcodes the 64-dim layout."""
     from experts_etl_spark.llm.pq import pq_encode
 
     e = read_table(spark, sf_dir, "embeddings")
     return pq_encode(e, "vec_id", "embedding", m=4, iters=2)
+
+
+@query(
+    "ann_pq_codes_incremental",
+    f"""
+    WITH n0 AS ({_NEMB}),
+    n AS (SELECT * FROM n0 WHERE vec_id % 2 = 0),
+    {_pq_train_sql(
+        "(SELECT greatest(2, count(*) // 64) FROM embeddings"
+        " WHERE vec_id % 2 = 0)"
+    )},
+    newn AS (SELECT * FROM n0 WHERE vec_id % 2 = 1),
+    newsubs AS (
+      SELECT vec_id, CAST(j AS INT) AS sub_id,
+             q[1 + 16 * j : 16 * (j + 1)] AS sq
+      FROM newn CROSS JOIN range(0, 4) t(j)
+    ),
+    enc_new AS (SELECT vec_id, sub_id, code_id FROM (
+      SELECT s.vec_id, s.sub_id, c.code_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+               ORDER BY c.cn2 - 2 * list_dot_product(s.sq, c.cq) ASC,
+                        c.code_id) AS rn
+      FROM newsubs s JOIN pc2 c ON s.sub_id = c.sub_id) WHERE rn = 1)
+    SELECT e.vec_id, e.sub_id, e.code_id, nn.n2
+    FROM enc_new e JOIN newn nn ON nn.vec_id = e.vec_id
+    """,
+)
+def ann_pq_codes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (llm/pq.py:pq_encode_incremental):
+    codebooks train on the EXISTING corpus half (even vec_ids, standing
+    in for the already-indexed store), then the NEW batch (odd vec_ids)
+    encodes against the broadcast books WITHOUT retraining or touching
+    the existing index — the streaming-ingest ANN path, the ADC
+    analogue of ``dedup_incremental_ingest``'s asymmetric band join.
+    Per-batch cost is batch-proportional (m·k subspace dots per new
+    vector); codebook drift is a rebuild trigger, not an encode-time
+    concern.  UNGATED BY DESIGN (tools/gate_hygiene.py): the train and
+    encode code paths are both driver-gated via ``ann_pq_codes``; this
+    query pins only their composition over disjoint halves, and holds
+    local sf0.001 parity plus the full sf0.01/sf0.1 sweeps like every
+    registered query."""
+    from experts_etl_spark.llm.pq import pq_encode_incremental, pq_train
+
+    e = read_table(spark, sf_dir, "embeddings")
+    existing = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    _, books = pq_train(existing, "vec_id", "embedding", m=4, iters=2)
+    return pq_encode_incremental(new, books, "vec_id", "embedding", m=4)
 
 
 @query(
@@ -1049,20 +1147,38 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH n AS ({_NEMB}),
     cells AS (
-      SELECT vec_id AS cent_id, q AS cellq, n2 AS celln2 FROM n
+      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
       WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    {_IVF2_SUPERS},
+    cell_super AS (
+      SELECT cent_id, super_id FROM (
+        SELECT c.cent_id, s.super_id,
+               row_number() OVER (PARTITION BY c.cent_id
+                 ORDER BY list_dot_product(c.cq, s.sq) / sqrt(c.cn2 * s.sn2) DESC,
+                          s.super_id) AS rn
+        FROM cells c CROSS JOIN supers s) WHERE rn = 1
+    ),
+    v_super AS (
+      SELECT vec_id, q, n2, super_id FROM (
+        SELECT e.vec_id, e.q, e.n2, s.super_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.q, s.sq) / sqrt(e.n2 * s.sn2) DESC,
+                          s.super_id) AS rn
+        FROM n e CROSS JOIN supers s) WHERE rn = 1
     ),
     vassign AS (
       SELECT vec_id, cent_id FROM (
-        SELECT e.vec_id, c.cent_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(e.q, c.cellq) / sqrt(e.n2 * c.celln2) DESC,
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.q, c.cq) / sqrt(v.n2 * c.cn2) DESC,
                           c.cent_id) AS rn
-        FROM n e CROSS JOIN cells c) WHERE rn = 1
+        FROM v_super v JOIN cell_super cs ON v.super_id = cs.super_id
+        JOIN cells c ON cs.cent_id = c.cent_id) WHERE rn = 1
     ),
     resid AS (
       SELECT a.vec_id, a.cent_id,
-             list_transform(range(1, 65), i -> e.q[i] - c.cellq[i]) AS q
+             list_transform(range(1, 65), i -> e.q[i] - c.cq[i]) AS q
       FROM vassign a
       JOIN n e ON e.vec_id = a.vec_id
       JOIN cells c ON c.cent_id = a.cent_id
@@ -1074,7 +1190,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rc0 AS (SELECT sub_id, vec_id AS code_id, sq AS cq,
                    list_dot_product(sq, sq) AS cn2
-            FROM rsubs WHERE vec_id % {_CENT_MOD} = 1),
+            FROM rsubs WHERE vec_id % {_PQ_CODE_MOD} = 1),
     {_pq_iter_sql('rc0', 1, src='rsubs', tag='r')},
     {_pq_iter_sql('rc1', 2, src='rsubs', tag='r')},
     renc AS (SELECT vec_id, sub_id, code_id FROM (
@@ -1095,7 +1211,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     celldot AS (
       SELECT p.vec_id AS probe_id, c.cent_id,
-             list_dot_product(p.q, c.cellq) AS cdot
+             list_dot_product(p.q, c.cq) AS cdot
       FROM n p CROSS JOIN cells c WHERE p.vec_id < 32
     ),
     rdot AS (
@@ -1135,10 +1251,12 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC proper (llm/pq.py:ivfpq_topk) — the billion-scale index
-    layout: stride-seeded IVF cells coarse-quantize the corpus, PQ
-    codebooks train on the CELL RESIDUALS (seed stride offset by 1 —
-    cell seeds have all-zero residuals and would collapse the
-    codebook), and search scores each candidate as
+    layout: the corpus coarse-quantizes onto ~√n stride-seeded cells
+    through the TWO-LEVEL hierarchy (ivf2_index — n^1.25 assignment,
+    not flat n·√n), PQ codebooks train on the CELL RESIDUALS (seed
+    stride offset by 1 — cell seeds have all-zero residuals and would
+    collapse the codebook; FIXED k ≈ 64 codewords, auto_code_mod, so
+    train/encode stay linear), and search scores each candidate as
     dot(p, cell) + Σ ADC-LUT entries — an exact decomposition of
     dot(p, x) up to residual quantization, with zero full-dimension
     arithmetic against the corpus.  Residual encoding spends the bit

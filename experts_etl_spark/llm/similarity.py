@@ -206,6 +206,40 @@ def bucketed_near_dup(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int | None = None,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): a vector is DROPPED iff a lower-id vector sits
+    within cosine ``threshold`` among its blocked candidates — the
+    paper's greedy keep-one-representative-per-ε-ball rule, made
+    deterministic by ordering on the id.  Blocking is the SRP bucket
+    with Hamming-1 multi-probe (:func:`bucketed_near_dup`), the
+    repo's measured-linear embedding-pair path, standing in for the
+    paper's k-means clusters; the greedy rule (NOT connected
+    components) is exactly SemDeDup's — ε-chains keep their first
+    member per link, they don't collapse to one.
+
+    Returns the FULL corpus as (vec_id, kept): downstream mixture /
+    packing stages filter on ``kept`` without re-deriving the drop
+    set."""
+    pairs = bucketed_near_dup(
+        emb, id_col, vec_col, threshold, bits, probe_hamming
+    )
+    dups = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return (
+        emb.select(id_col)
+        .join(dups.withColumn("_d", F.lit(1)), id_col, "left")
+        .select(F.col(id_col), F.col("_d").isNull().alias("kept"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,

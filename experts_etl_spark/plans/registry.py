@@ -113,10 +113,10 @@ GATE_ORDER = [
     "ann_pq_codes",              # PQ train+encode, hash-pinned
     "ann_topk_pq_adc",           # ADC search + exact re-rank
     "ann_topk_ivfpq",            # IVFADC: residual codebooks + celldot
-    # (third swap-out: dedup_simhash — unchanged since r2, fresh r7 row;
-    #  the SimHash miner keeps local sf0.001 parity every pytest run)
-    # --- r2/r3-era proofs kept warm -------------------------------------
-    "dedup_winnow",
+    "embedding_semantic_dedup",  # SemDeDup greedy ε-ball resolution
+    # (third/fourth swap-outs: dedup_simhash and dedup_winnow —
+    #  unchanged since r2/r6, fresh r7 rows; both miners keep local
+    #  sf0.001 parity every pytest run)
     "cdc_compaction",           # C3 C4 W7
     "override_coalesce",        # J2 J3
     "primary_event_election",   # A9 W8

@@ -99,6 +99,8 @@ def test_no_cartesian_products_anywhere(spark):
         "tfidf_topk_terms",      # corpus-size scalar broadcast for idf
         "dedup_lsh_recall",      # 1-row count aggregates cross-joined
         "training_dedup_leakage",  # 1-row count aggregates cross-joined
+        "ann_topk_ivfpq",        # super/cell broadcast (ivf2 assignment)
+                                 # + probe×cells cell-dot broadcast
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))

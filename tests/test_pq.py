@@ -39,9 +39,9 @@ def test_codes_shape_and_domain(spark):
         F.min("count").alias("lo"), F.max("count").alias("hi")
     ).first()
     assert per_vec["lo"] == per_vec["hi"] == m
-    from experts_etl_spark.llm.similarity import auto_cent_mod
+    from experts_etl_spark.llm.pq import auto_code_mod
 
-    mod = auto_cent_mod(n)
+    mod = auto_code_mod(n)
     bad = codes.filter(F.col("code_id") % mod != 0).count()
     assert bad == 0
 
@@ -125,6 +125,55 @@ def test_ivfpq_residuals_beat_flat_pq(spark, clustered_dir):
     assert min(res.values()) >= min(flat.values())
 
 
+def test_ivfpq_index_persists_and_search_matches(spark, tmp_path):
+    """The three index frames round-trip through parquet and searching
+    the REREAD index returns exactly the end-to-end result — the
+    amortize-the-index deployment contract (build once, search many).
+    Also pins the index payload shape: m skinny rows per vector, no
+    full vectors in the standing index."""
+    from experts_etl_spark.llm.pq import ivfpq_index, ivfpq_search, ivfpq_topk
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    direct = ivfpq_topk(
+        e, probes, "vec_id", "embedding", k=3, m=4, refine_mult=8
+    ).collect()
+
+    cells, books, index = ivfpq_index(e, "vec_id", "embedding", m=4)
+    assert index.columns == ["vec_id", "sub_id", "code_id", "cent_id", "n2"]
+    for name, df in [("cells", cells), ("books", books), ("index", index)]:
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    cells2 = spark.read.parquet(str(tmp_path / "cells"))
+    books2 = spark.read.parquet(str(tmp_path / "books"))
+    index2 = spark.read.parquet(str(tmp_path / "index"))
+    reread = ivfpq_search(
+        cells2, books2, index2, e, probes, "vec_id", "embedding",
+        k=3, m=4, refine_mult=8,
+    ).collect()
+    assert sorted(map(tuple, reread)) == sorted(map(tuple, direct))
+
+
+def test_ivfpq_search_plan_shape(spark):
+    """Scale contract of the search phase: the LUT, cell-dot, and probe
+    joins all broadcast (the corpus-side code index never shuffles into
+    a join build side), and nothing degenerates to a cartesian product.
+    The only BroadcastNestedLoopJoins allowed are the deliberate
+    probe×cells / probe×books fan-outs (small × broadcast)."""
+    from experts_etl_spark.llm.pq import ivfpq_index, ivfpq_search
+    from tests.test_plans import plan_of
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    cells, books, index = ivfpq_index(e, "vec_id", "embedding", m=4)
+    df = ivfpq_search(
+        cells, books, index, e, probes, "vec_id", "embedding",
+        k=3, m=4, refine_mult=8,
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivfpq_residual_codebooks_not_collapsed(spark):
     """Regression for the zero-seed trap: codebook seeds offset off the
     cell-seed stride, so residual codebooks keep >1 codeword per
@@ -135,12 +184,12 @@ def test_ivfpq_residual_codebooks_not_collapsed(spark):
         _train_books,
         ivf_residuals,
     )
-    from experts_etl_spark.llm.similarity import auto_cent_mod
+    from experts_etl_spark.llm.pq import auto_code_mod
 
     e = read_table(spark, SF_SMOKE, "embeddings")
     _, _, resid = ivf_residuals(e, "vec_id", "embedding")
     rsubs = _subvectors(resid, 4)
-    books = _train_books(rsubs, auto_cent_mod(e.count()), 2, seed_offset=1)
+    books = _train_books(rsubs, auto_code_mod(e.count()), 2, seed_offset=1)
     per_sub = books.groupBy("sub_id").count().collect()
     assert len(per_sub) == 4
     assert all(r["count"] > 1 for r in per_sub)

@@ -59,12 +59,15 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--vecs1", type=int, default=2000)
     ap.add_argument("--mults", default="1,3,9,27")
+    ap.add_argument("--family", default="both", choices=["ivf2", "ivfpq", "both"],
+                    help="which index family to split-time")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     assert mults[0] == 1, "the first multiplier must be the 1x base"
 
     from pyspark.sql import functions as F
 
+    from experts_etl_spark.llm.pq import ivfpq_index, ivfpq_search
     from experts_etl_spark.llm.similarity import (
         ivf2_index,
         ivf2_search,
@@ -73,68 +76,88 @@ def main() -> None:
     from experts_etl_spark.session import get_spark
     from tools.gen_scaledata import generate
 
+    def ivf2_build(e):
+        cents = kmeans_refined_centroids(
+            e, "vec_id", "embedding", iters=2, train_mod="auto"
+        )
+        cells, assignment = ivf2_index(
+            e, "vec_id", "embedding", centroids=cents
+        )
+        # eager materialization IS the build cost
+        return cells.localCheckpoint(), assignment.localCheckpoint()
+
+    def ivf2_probe(built, e, probes):
+        cells, assignment = built
+        ivf2_search(
+            cells, assignment, probes, "vec_id", "embedding", k=3
+        ).count()
+
+    def ivfpq_build(e):
+        cells, books, index = ivfpq_index(e, "vec_id", "embedding", m=4)
+        return (
+            cells.localCheckpoint(),
+            books.localCheckpoint(),
+            index.localCheckpoint(),
+        )
+
+    def ivfpq_probe(built, e, probes):
+        cells, books, index = built
+        ivfpq_search(
+            cells, books, index, e, probes, "vec_id", "embedding",
+            k=3, m=4, refine_mult=8,
+        ).count()
+
+    families = {
+        "ivf2": ("ann_ivf2_refined", ivf2_build, ivf2_probe),
+        "ivfpq": ("ann_ivfpq", ivfpq_build, ivfpq_probe),
+    }
+    todo = ["ivf2", "ivfpq"] if args.family == "both" else [args.family]
+
     spark = get_spark("ann_split_timing")
     root = tempfile.mkdtemp(prefix="ann_split_")
-    build_row: dict = {}
-    search_row: dict = {}
+    rows: dict[str, dict] = {}
+    for fam in todo:
+        prefix, build_fn, probe_fn = families[fam]
+        rows[f"{prefix}_build"] = {}
+        rows[f"{prefix}_search"] = {}
     for mult in mults:
         d = f"{root}/x{mult}"
         # docs are unused by the ANN path but the generator wants both
         generate(d, docs=100, vecs=args.vecs1 * mult, seed=42, mode="uniform")
         e = spark.read.parquet(f"{d}/embeddings.parquet")
-
-        def build():
-            cents = kmeans_refined_centroids(
-                e, "vec_id", "embedding", iters=2, train_mod="auto"
-            )
-            cells, assignment = ivf2_index(
-                e, "vec_id", "embedding", centroids=cents
-            )
-            # eager materialization IS the build cost
-            return cells.localCheckpoint(), assignment.localCheckpoint()
-
-        build()  # warm codegen/broadcast paths
-        bt, built = [], None
-        for _ in range(3):
-            t0 = time.time()
-            built = build()
-            bt.append(time.time() - t0)
-        build_row[f"t{mult}x"] = round(min(bt), 3)
-
-        cells, assignment = built
         probes = e.filter(F.col("vec_id") < 16)
+        for fam in todo:
+            prefix, build_fn, probe_fn = families[fam]
+            build_fn(e)  # warm codegen/broadcast paths
+            bt, built = [], None
+            for _ in range(3):
+                t0 = time.time()
+                built = build_fn(e)
+                bt.append(time.time() - t0)
+            rows[f"{prefix}_build"][f"t{mult}x"] = round(min(bt), 3)
 
-        def search():
-            ivf2_search(
-                cells, assignment, probes, "vec_id", "embedding", k=3
-            ).count()
-
-        search()  # warm
-        stt = []
-        for _ in range(3):
-            t0 = time.time()
-            search()
-            stt.append(time.time() - t0)
-        search_row[f"t{mult}x"] = round(min(stt), 3)
-        print(
-            f"x{mult}: build={build_row[f't{mult}x']:.3f}s "
-            f"search={search_row[f't{mult}x']:.3f}s"
-        )
+            probe_fn(built, e, probes)  # warm
+            stt = []
+            for _ in range(3):
+                t0 = time.time()
+                probe_fn(built, e, probes)
+                stt.append(time.time() - t0)
+            rows[f"{prefix}_search"][f"t{mult}x"] = round(min(stt), 3)
+            print(
+                f"{fam} x{mult}: build={rows[f'{prefix}_build'][f't{mult}x']:.3f}s "
+                f"search={rows[f'{prefix}_search'][f't{mult}x']:.3f}s"
+            )
         spark.catalog.clearCache()
         import gc
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
-    _fit(build_row, mults)
-    _fit(search_row, mults)
     run_meta = {"mults": mults, "docs_1x": None, "vecs_1x": args.vecs1}
-    build_row["run"] = run_meta
-    search_row["run"] = run_meta
-    results = {
-        "ann_ivf2_refined_build": build_row,
-        "ann_ivf2_refined_search": search_row,
-    }
+    for row in rows.values():
+        _fit(row, mults)
+        row["run"] = run_meta
+    results = rows
     print(json.dumps(results, indent=2))
     if args.out:
         if os.path.exists(args.out):

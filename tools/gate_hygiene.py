@@ -61,6 +61,11 @@ UNGATED_BY_DESIGN = {
     # only the sampling constant changed (p=1/8); exists so scale_fit
     # can measure the production cost point.
     "training_dedup_leakage_sampled_p8",
+    # Composition-only variant: train and encode paths are both
+    # driver-gated via ann_pq_codes; this pins their composition over
+    # disjoint corpus halves (incremental ingest).  Local sf0.001
+    # parity + full sweeps like every registered query.
+    "ann_pq_codes_incremental",
 }
 
 

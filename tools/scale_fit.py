@@ -72,6 +72,11 @@ PACK = [
     # production p = 1/8 sampling point — measured against the exact
     # audit's row to demonstrate the ~p² cost win (r7 verdict item 7)
     "training_dedup_leakage_sampled_p8",
+    # round-8 additions: product quantization (llm/pq.py) + SemDeDup
+    "ann_pq_codes",
+    "ann_topk_pq_adc",
+    "ann_topk_ivfpq",
+    "embedding_semantic_dedup",
 ]
 
 
