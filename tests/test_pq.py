@@ -153,6 +153,47 @@ def test_ivfpq_index_persists_and_search_matches(spark, tmp_path):
     assert sorted(map(tuple, reread)) == sorted(map(tuple, direct))
 
 
+def test_semantic_dedup_separates_clustered_from_uniform(spark, clustered_dir, tmp_path_factory):
+    """SemDeDup semantics on realistic data: a clustered corpus is
+    mostly ε-duplicates (few representatives survive), a uniform corpus
+    mostly survives; exactly one representative per connected ε-chain
+    prefix keeps the greedy rule's invariant that the MINIMUM id of
+    every blocked near-dup pair is kept."""
+    from experts_etl_spark.llm.similarity import (
+        bucketed_near_dup,
+        semantic_dedup,
+    )
+
+    uni_dir = str(tmp_path_factory.mktemp("semdedup") / "uniform")
+    generate(uni_dir, docs=50, vecs=1200, seed=7, mode="uniform")
+
+    fractions = {}
+    for name, d in [("clustered", clustered_dir), ("uniform", uni_dir)]:
+        e = read_table(spark, d, "embeddings")
+        out = semantic_dedup(e, "vec_id", "embedding", 0.9)
+        total = out.count()
+        kept = out.filter(F.col("kept")).count()
+        fractions[name] = kept / total
+        assert total == e.count()
+    assert fractions["clustered"] < 0.5 < fractions["uniform"], fractions
+
+    # invariant: the min-id side of every blocked pair is never dropped
+    # BY that pair — concretely, any vector that appears only as id1
+    # (never as id2) must be kept
+    e = read_table(spark, clustered_dir, "embeddings")
+    pairs = bucketed_near_dup(e, "vec_id", "embedding", 0.9)
+    only_left = pairs.select(F.col("id1").alias("vec_id")).distinct().join(
+        pairs.select(F.col("id2").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    out = semantic_dedup(e, "vec_id", "embedding", 0.9)
+    dropped_only_left = only_left.join(
+        out.filter(~F.col("kept")), "vec_id"
+    ).count()
+    assert dropped_only_left == 0
+
+
 def test_ivfpq_search_plan_shape(spark):
     """Scale contract of the search phase: the LUT, cell-dot, and probe
     joins all broadcast (the corpus-side code index never shuffles into
