@@ -1,0 +1,70 @@
+"""Streaming ANN-index maintenance: encode arriving embedding batches
+against persisted PQ codebooks and append the skinny code rows.
+
+The Structured Streaming twin of ``llm/pq.py:pq_encode_incremental``
+(exactly like ``streaming/curation.py`` twins the batch curation
+funnel): a deployment trains codebooks once (``pq_train`` /
+``ivfpq_index``), persists them, and every arriving embedding batch
+maps through the BROADCAST books — m·k subspace dots per new vector,
+no retrain, no touch of the standing index.  Codebook drift under a
+shifting ingest distribution is a rebuild trigger (retrain + re-encode
+behind a new index path), never an encode-time concern — the FAISS
+operational model.
+
+Idempotency: the sink is hive-partitioned on ``batch_id`` with dynamic
+partition overwrite, so an at-least-once ``foreachBatch`` replay
+rewrites its own partition instead of appending duplicates (the same
+guarantee ``streaming/incremental.py`` pins for the merge sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_streaming_pq_encode(
+    spark: SparkSession,
+    src: str,
+    books_path: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain ``src`` (``availableNow``) of embedding parquet batches,
+    encoding each against the persisted codebooks at ``books_path`` and
+    appending (vec_id, sub_id, code_id, n2, batch_id) partitions to
+    ``index_dir``.
+
+    Per-tick cost is batch-proportional: the books are a fixed m·k-row
+    broadcast, the batch never joins the standing index, and the write
+    touches only the batch's own partition."""
+    from experts_etl_spark.llm.pq import pq_encode_incremental
+
+    books = spark.read.parquet(books_path)
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+
+    def encode(batch: DataFrame, batch_id: int) -> None:
+        out = pq_encode_incremental(batch, books, id_col, vec_col, m)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(encode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
