@@ -412,15 +412,18 @@ def ivfpq_search(
     k: int,
     m: int = 4,
     refine_mult: int = 4,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Probe side of IVFADC over a (possibly materialized) index from
-    :func:`ivfpq_index`: per probe, a broadcast LUT of subspace dots
-    against every codeword plus a broadcast probe×cell dot table, each
-    candidate scored as cdot + Σ LUT — one linear scan of the SKINNY
-    code index per batch, zero full-dimension corpus arithmetic — then
-    the top ``refine_mult·k`` re-ranked exactly against ``emb`` (point
-    reads of the shortlist's raw vectors).  Per-batch cost is what a
-    standing deployment pays per query wave."""
+    :func:`ivfpq_index`: each probe selects its ``nprobe`` best cells
+    (max cosine against the broadcastable cell table — THIS is the IVF
+    half: per-batch candidate volume is nprobe·n/nlist per probe, not
+    the corpus), then the probed cells' code rows join a broadcast LUT
+    of subspace dots and each candidate scores as cdot + Σ LUT — zero
+    full-dimension corpus arithmetic — and the top ``refine_mult·k``
+    re-rank exactly against ``emb`` (point reads of the shortlist's raw
+    vectors).  With a cent_id-partitioned index the probed-cell join
+    prunes partitions, so a query wave touches only its cells' files."""
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
@@ -440,23 +443,34 @@ def ivfpq_search(
         "code_id",
         dot(F.col("sq"), F.col("cq")).alias("pdot"),
     )
-    celldot = pn.join(F.broadcast(cells), F.lit(True)).select(
-        "probe_id",
-        "cent_id",
-        dot(F.col("q"), F.col("cellq")).alias("cdot"),
+    pscored = pn.join(F.broadcast(cells), F.lit(True)).withColumn(
+        "pcos",
+        cosine(dot(F.col("q"), F.col("cellq")), F.col("pn2"), F.col("celln2")),
+    )
+    pw = Window.partitionBy("probe_id").orderBy(
+        F.col("pcos").desc(), F.col("cent_id")
+    )
+    probe_cells = (
+        pscored.withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select(
+            "probe_id",
+            "cent_id",
+            dot(F.col("q"), F.col("cellq")).alias("cdot"),
+        )
     )
 
     rdot = (
-        index.join(F.broadcast(lut), ["sub_id", "code_id"])
+        index.join(F.broadcast(probe_cells), "cent_id")
+        .join(F.broadcast(lut), ["probe_id", "sub_id", "code_id"])
         .groupBy(
-            "probe_id", F.col("vec_id").alias("cand_id"), "cent_id", "n2"
+            "probe_id", F.col("vec_id").alias("cand_id"), "cdot", "n2"
         )
         .agg(F.sum("pdot").alias("rdot"))
         .filter(F.col("probe_id") != F.col("cand_id"))
     )
     approx = (
-        rdot.join(F.broadcast(celldot), ["probe_id", "cent_id"])
-        .join(F.broadcast(pn.select("probe_id", "pn2")), "probe_id")
+        rdot.join(F.broadcast(pn.select("probe_id", "pn2")), "probe_id")
         .withColumn(
             "acos",
             cosine(F.col("rdot") + F.col("cdot"), F.col("pn2"), F.col("n2")),
@@ -514,6 +528,7 @@ def ivfpq_topk(
     code_mod: int | None = None,
     iters: int = 2,
     refine_mult: int = 4,
+    nprobe: int = 2,
 ) -> DataFrame:
     """IVFADC end-to-end: :func:`ivfpq_index` then :func:`ivfpq_search`
     — PQ codebooks trained on CELL RESIDUALS, so the codes spend their
@@ -530,5 +545,6 @@ def ivfpq_topk(
         emb, id_col, vec_col, m, cell_mod, code_mod, iters
     )
     return ivfpq_search(
-        cells, books, index, emb, probes, id_col, vec_col, k, m, refine_mult
+        cells, books, index, emb, probes, id_col, vec_col, k, m,
+        refine_mult, nprobe,
     )

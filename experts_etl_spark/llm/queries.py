@@ -1209,24 +1209,30 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_dot_product(s.sq, c.cq) AS pdot
       FROM psubs s JOIN rc2 c ON s.sub_id = c.sub_id
     ),
-    celldot AS (
-      SELECT p.vec_id AS probe_id, c.cent_id,
-             list_dot_product(p.q, c.cq) AS cdot
-      FROM n p CROSS JOIN cells c WHERE p.vec_id < 32
+    pcells AS (
+      SELECT probe_id, cent_id, cdot FROM (
+        SELECT p.vec_id AS probe_id, c.cent_id,
+               list_dot_product(p.q, c.cq) AS cdot,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.cq) / sqrt(p.n2 * c.cn2) DESC,
+                          c.cent_id) AS prn
+        FROM n p CROSS JOIN cells c WHERE p.vec_id < 32) WHERE prn <= 2
     ),
     rdot AS (
-      SELECT l.probe_id, e.vec_id AS cand_id, sum(l.pdot) AS rdot
-      FROM renc e JOIN lut l
-        ON e.sub_id = l.sub_id AND e.code_id = l.code_id
-      WHERE e.vec_id <> l.probe_id
-      GROUP BY 1, 2
+      SELECT pc.probe_id, e.vec_id AS cand_id, pc.cdot,
+             sum(l.pdot) AS rdot
+      FROM renc e
+      JOIN vassign va ON va.vec_id = e.vec_id
+      JOIN pcells pc ON pc.cent_id = va.cent_id
+      JOIN lut l ON e.sub_id = l.sub_id AND e.code_id = l.code_id
+                AND l.probe_id = pc.probe_id
+      WHERE e.vec_id <> pc.probe_id
+      GROUP BY 1, 2, 3
     ),
     approx AS (
       SELECT r.probe_id, r.cand_id,
-             (r.rdot + cd.cdot) / sqrt(pn.n2 * cn.n2) AS acos
+             (r.rdot + r.cdot) / sqrt(pn.n2 * cn.n2) AS acos
       FROM rdot r
-      JOIN vassign va ON va.vec_id = r.cand_id
-      JOIN celldot cd ON cd.probe_id = r.probe_id AND cd.cent_id = va.cent_id
       JOIN n pn ON pn.vec_id = r.probe_id
       JOIN n cn ON cn.vec_id = r.cand_id
     ),
@@ -1256,8 +1262,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     not flat n·√n), PQ codebooks train on the CELL RESIDUALS (seed
     stride offset by 1 — cell seeds have all-zero residuals and would
     collapse the codebook; FIXED k ≈ 64 codewords, auto_code_mod, so
-    train/encode stay linear), and search scores each candidate as
-    dot(p, cell) + Σ ADC-LUT entries — an exact decomposition of
+    train/encode stay linear), and each probe searches only its
+    nprobe=2 best cells — the IVF half: candidate volume per probe is
+    nprobe·n/nlist, not the corpus — scoring each candidate as
+    dot(p, cell) + Σ ADC-LUT entries, an exact decomposition of
     dot(p, x) up to residual quantization, with zero full-dimension
     arithmetic against the corpus.  Residual encoding spends the bit
     budget on within-cell detail: measured worst-probe score ratio
