@@ -1079,6 +1079,69 @@ def ann_pq_codes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_recon_error",
+    f"""
+    WITH n AS ({_NEMB}),
+    {_PQ_TRAIN},
+    rec AS (
+      SELECT s.sub_id,
+             CAST(floor(list_dot_product(
+                    list_transform(range(1, 17), i -> s.sq[i] - c.cq[i]),
+                    list_transform(range(1, 17), i -> s.sq[i] - c.cq[i]))
+                  / greatest(list_dot_product(s.sq, s.sq), 1.0)
+                  * 1000000) AS BIGINT) AS err_ppm
+      FROM enc e
+      JOIN subs s ON s.vec_id = e.vec_id AND s.sub_id = e.sub_id
+      JOIN pc2 c ON c.sub_id = e.sub_id AND c.code_id = e.code_id
+    )
+    SELECT sub_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(floor(sum(err_ppm) * 1.0 / count(*)) AS BIGINT) AS avg_err_ppm
+    FROM rec GROUP BY 1
+    """,
+)
+def ann_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index-quality audit: per-subspace mean relative reconstruction
+    error of the trained codebooks over the whole corpus — the metric a
+    deployment monitors to trigger a rebuild (codebook drift), the PQ
+    analogue of ``dedup_lsh_recall``'s honesty duty for LSH.  Per-row
+    relative error ‖sq − cq‖²/‖sq‖² quantizes to integer ppm BEFORE the
+    aggregate (floor(·1e6)): the raw squared errors exceed 2^53 when
+    summed, where float addition order would diverge between engines,
+    while the ppm integers sum exactly — the same integer-grid dodge
+    the kmeans centroid update uses.  UNGATED BY DESIGN
+    (tools/gate_hygiene.py): train/encode are driver-gated via
+    ``ann_pq_codes``; this adds only the error expression over their
+    gated output, and holds local sf0.001 parity plus full sweeps."""
+    from experts_etl_spark.llm.pq import _assign_codes, pq_train
+
+    e = read_table(spark, sf_dir, "embeddings")
+    subs, books = pq_train(e, "vec_id", "embedding", m=4, iters=2)
+    rec = (
+        _assign_codes(subs, books)
+        .join(subs, ["vec_id", "sub_id"])
+        .join(F.broadcast(books), ["sub_id", "code_id"])
+        .withColumn("_diff", F.zip_with("sq", "cq", lambda a, b: a - b))
+    )
+    from experts_etl_spark.llm.similarity import dot as _dot
+
+    err_ppm = F.floor(
+        _dot(F.col("_diff"), F.col("_diff"))
+        / F.greatest(_dot(F.col("sq"), F.col("sq")), F.lit(1.0))
+        * 1000000
+    ).cast("bigint")
+    return (
+        rec.select("sub_id", err_ppm.alias("err_ppm"))
+        .groupBy("sub_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.floor(F.sum("err_ppm") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_err_ppm"),
+        )
+    )
+
+
+@query(
     "ann_topk_pq_adc",
     f"""
     WITH n AS ({_NEMB}),

@@ -66,6 +66,10 @@ UNGATED_BY_DESIGN = {
     # disjoint corpus halves (incremental ingest).  Local sf0.001
     # parity + full sweeps like every registered query.
     "ann_pq_codes_incremental",
+    # Quality-audit expression over the gated ann_pq_codes train/encode
+    # output (per-subspace reconstruction error in integer ppm); adds
+    # no new distributed path.  Local parity + full sweeps.
+    "ann_pq_recon_error",
 }
 
 
