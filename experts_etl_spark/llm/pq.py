@@ -77,11 +77,21 @@ def auto_code_mod(n_rows: int, k: int = PQ_K) -> int:
 def _subvectors(n: DataFrame, m: int) -> DataFrame:
     """(vec_id, q, …) → (vec_id, sub_id, sq): m aligned subvector rows
     per vector, dimension-generic (sub-dim = size(q) div m).  A single
-    generated-column explode — no Python loop, no per-subspace scan."""
+    generated-column explode — no Python loop, no per-subspace scan.
+
+    FAISS-style requirement: the vector dimension must divide evenly
+    by ``m`` — ``size(q) div m`` would otherwise silently drop the
+    trailing ``size(q) mod m`` dimensions from every vector.  The
+    guard lives INSIDE the consumed ``sq`` expression (``raise_error``
+    branch) so column pruning cannot optimize it away; the executor
+    task fails fast on the first offending vector."""
     slices = F.expr(
         f"transform(sequence(0, {m - 1}), j -> struct("
         f"  j AS sub_id,"
-        f"  slice(q, 1 + j * (size(q) div {m}), size(q) div {m}) AS sq))"
+        f"  if(size(q) % {m} = 0,"
+        f"     slice(q, 1 + j * (size(q) div {m}), size(q) div {m}),"
+        f"     raise_error(concat('PQ requires vector dim divisible by"
+        f" m={m}; got dim=', cast(size(q) AS string)))) AS sq))"
     )
     return n.select("vec_id", F.explode(slices).alias("s")).select(
         "vec_id", F.col("s.sub_id").cast("int").alias("sub_id"), "s.sq"

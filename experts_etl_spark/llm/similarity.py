@@ -216,15 +216,26 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
-    deduplication"): a vector is DROPPED iff a lower-id vector sits
-    within cosine ``threshold`` among its blocked candidates — the
-    paper's greedy keep-one-representative-per-ε-ball rule, made
+    deduplication"): a vector is DROPPED iff ANY lower-id vector sits
+    within cosine ``threshold`` among its blocked candidates, made
     deterministic by ordering on the id.  Blocking is the SRP bucket
     with Hamming-1 multi-probe (:func:`bucketed_near_dup`), the
     repo's measured-linear embedding-pair path, standing in for the
-    paper's k-means clusters; the greedy rule (NOT connected
-    components) is exactly SemDeDup's — ε-chains keep their first
-    member per link, they don't collapse to one.
+    paper's k-means clusters.
+
+    This is a ONE-PASS APPROXIMATION of the paper's sequential greedy
+    rule, not an exact implementation: representatives are per-link,
+    so on an ε-chain a < b < c with pairs (a,b), (b,c) both b and c
+    are dropped even though c's only ε-neighbor b was itself dropped —
+    the paper's sequential scan would keep c.  The one-pass rule is
+    strictly MORE aggressive (drop-set ⊇ sequential greedy's) and
+    embarrassingly parallel — the sequential rule is an inherently
+    ordered fixpoint; at 100 TB the single pass over the blocked pair
+    list is the scalable trade.  ε-chains do NOT collapse to one
+    representative per connected component (that stronger collapse is
+    :func:`~experts_etl_spark.llm.curation.resolve_duplicate_clusters`);
+    but a dropped vector's nearest lower-id neighbor may itself be
+    dropped.
 
     Returns the FULL corpus as (vec_id, kept): downstream mixture /
     packing stages filter on ``kept`` without re-deriving the drop

@@ -50,14 +50,17 @@ for mod in (reference_queries, llm_queries):
 # With this window the r02-r08 union gives every registered query a
 # driver row against its CURRENT oracle — the r7 verdict's
 # gate-hygiene invariant, now mechanically enforced by
-# tools/gate_hygiene.py — except the three documented
+# tools/gate_hygiene.py — except the four documented
 # ungated-by-design entries (gate_hygiene.UNGATED_BY_DESIGN):
 # encode_token_ids_arrays (driver cannot canonicalize array columns;
 # ids_str twin gated), training_dedup_leakage_sampled_p8 (sampling-
-# constant template twin of the gated p=1/2 query), and
+# constant template twin of the gated p=1/2 query),
 # ann_pq_codes_incremental (composition of the gated ann_pq_codes
-# train/encode paths over disjoint halves).  All three keep local
-# sf0.001 parity every pytest run plus the full sf0.01/sf0.1 sweeps.
+# train/encode paths over disjoint halves), and ann_pq_recon_error
+# (error-expression audit over the gated ann_pq_codes output; its new
+# per-row arithmetic is pinned by local parity plus the full sweeps,
+# not a driver row).  All four keep local sf0.001 parity every pytest
+# run plus the full sf0.01/sf0.1 sweeps.
 GATE_ORDER = [
     # --- round-4 additions, kept gated --------------------------------
     "train_val_split",

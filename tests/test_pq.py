@@ -234,3 +234,21 @@ def test_ivfpq_residual_codebooks_not_collapsed(spark):
     per_sub = books.groupBy("sub_id").count().collect()
     assert len(per_sub) == 4
     assert all(r["count"] > 1 for r in per_sub)
+
+
+def test_subvectors_rejects_indivisible_dim(spark):
+    """FAISS's d % m == 0 requirement: _subvectors must fail fast on a
+    vector whose dimension doesn't divide by m instead of silently
+    truncating the tail (the guard lives inside the consumed sq
+    expression so Catalyst can't prune it)."""
+    from experts_etl_spark.llm.pq import _subvectors
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id int, q array<double>"
+    )
+    assert _subvectors(ok, 2).count() == 2
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id int, q array<double>"
+    )
+    with pytest.raises(Exception, match="divisible by m=2"):
+        _subvectors(bad, 2).collect()

@@ -67,8 +67,11 @@ UNGATED_BY_DESIGN = {
     # parity + full sweeps like every registered query.
     "ann_pq_codes_incremental",
     # Quality-audit expression over the gated ann_pq_codes train/encode
-    # output (per-subspace reconstruction error in integer ppm); adds
-    # no new distributed path.  Local parity + full sweeps.
+    # output (per-subspace reconstruction error in integer ppm).  The
+    # error expression itself (zip_with residual diff, ppm floor) is new
+    # per-row arithmetic pinned by local sf0.001 parity plus the full
+    # sf0.01/sf0.1 sweeps rather than a driver row; the distributed
+    # plan underneath (train/encode) is driver-gated via ann_pq_codes.
     "ann_pq_recon_error",
 }
 
