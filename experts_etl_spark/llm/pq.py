@@ -335,6 +335,7 @@ def ivf_residuals(
     id_col: str,
     vec_col: str,
     cell_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Coarse-quantize the corpus onto stride-seeded IVF cells through
     the TWO-LEVEL hierarchy (:func:`~experts_etl_spark.llm.similarity.
@@ -345,14 +346,19 @@ def ivf_residuals(
     centroid, elementwise on the integer grid, so residual arithmetic
     stays exact.  Cells broadcast; the corpus never shuffles for
     assignment.  ``cell_mod`` pins an explicit seed stride (an external
-    index contract); ``None`` self-scales to nlist ≈ √n."""
+    index contract); ``None`` self-scales to nlist ≈ √n.  Pass
+    ``centroids`` (cent_id, centq, centn2) to coarse-quantize through a
+    TRAINED quantizer instead — e.g.
+    :func:`~experts_etl_spark.llm.similarity.kmeans_refined_centroids`,
+    the FAISS production shape (FAISS trains the IVF coarse quantizer
+    before residual-encoding; stride-seeded cells cost recall on
+    clustered real data)."""
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
         F.col("_n2").alias("n2"),
     )
-    centroids = None
-    if cell_mod is not None:
+    if centroids is None and cell_mod is not None:
         centroids = n.filter(F.col("vec_id") % cell_mod == 0).select(
             F.col("vec_id").alias("cent_id"),
             F.col("q").alias("centq"),

@@ -2858,15 +2858,24 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_recall_frame(d: DataFrame) -> DataFrame:
     """Shared body of ``dedup_lsh_recall`` / ``dedup_lsh_recall_sampled``:
     banded-candidate recall+precision of ``d`` against its exact
-    shingle-Jaccard ≥0.5 truth set."""
+    shingle-Jaccard ≥0.5 truth set.
+
+    The exact truth side runs through the AllPairs/PPJoin prefix-filter
+    miner (``llm/dedup.py:ngram_jaccard_pairs_prefix``) — lossless by
+    the prefix lemma, so the truth SET is identical to the naive
+    shingle-blocked join's (property-pinned in tests/test_llm_pack.py),
+    but the join volume is rare-shingle blocks instead of Σdf² — the
+    term that made the r8 sampled audit superlinear at 27× (the naive
+    truth join inside the sample inherited the exact family's growth
+    at p² volume; SCALE.md round 8 → round 9)."""
     from experts_etl_spark.llm.dedup import (
         lsh_candidates,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
         signature_shingle_sets,
     )
 
     truth = (
-        ngram_jaccard_pairs(d, "text", "doc_id", 0.5)
+        ngram_jaccard_pairs_prefix(d, "text", "doc_id", 0.5)
         .select("id1", "id2")
         .localCheckpoint(eager=False)
     )
@@ -2939,23 +2948,27 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this query is also a cross-check that the banded path and the
     exact path agree on the pairs they share.  Exact truth over the
     whole corpus — deliberately; :func:`dedup_lsh_recall_sampled` is
-    the 100 TB estimator."""
+    the 100 TB estimator.  Truth is mined by the lossless prefix
+    filter since round 9 (same set, rare-shingle join volume)."""
     d = read_table(spark, sf_dir, "documents")
     return _lsh_recall_frame(d)
 
 
-# Sampled twin: the same pipeline over the deterministic 1/3 hash
+# Sampled twin: the same pipeline over a deterministic 1/mod hash
 # sample of documents.  The outer `sh` is sampled, and `jac` is built
-# from it directly (no nested full-corpus _JACCARD).
+# from it directly (no nested full-corpus _JACCARD).  The oracle's
+# truth side stays the naive shingle join — at sample volume DuckDB is
+# fine with it, and it independently re-derives the truth set the
+# Spark side now mines with the prefix filter (losslessness is thereby
+# re-proven by the driver on every gated run).
 _SH_SAMPLED = _SHINGLES.replace("FROM documents", "FROM sdocs")
 
 
-@query(
-    "dedup_lsh_recall_sampled",
-    f"""
+def _lsh_recall_sampled_sql(mod: int) -> str:
+    return f"""
     WITH sdocs AS (
       SELECT * FROM documents
-      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {mod} = 0
     ),
     sh AS ({_SH_SAMPLED}),
     shx AS ({_SHINGLE_X}),
@@ -2986,8 +2999,21 @@ _SH_SAMPLED = _SHINGLES.replace("FROM documents", "FROM sdocs")
              / greatest(CAST((SELECT count(*) FROM truth) AS DOUBLE), 1.0) AS recall,
            CAST((SELECT count(*) FROM found) AS DOUBLE)
              / greatest(CAST((SELECT count(*) FROM cands) AS DOUBLE), 1.0) AS precision
-    """,
-)
+    """
+
+
+def _lsh_recall_sampled_plan(
+    spark: SparkSession, sf_dir: str, mod: int
+) -> DataFrame:
+    from experts_etl_spark.llm.dedup import hex60
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        hex60(F.col("doc_id").cast("string")) % mod == 0
+    )
+    return _lsh_recall_frame(d)
+
+
+@query("dedup_lsh_recall_sampled", _lsh_recall_sampled_sql(3))
 def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB story for the recall audit: banding recall is a
     PER-PAIR property (a pair's candidacy depends only on its two
@@ -2998,13 +3024,27 @@ def dedup_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/9 of the shared-shingle volume (both endpoints must survive,
     p²).  Counts are the in-sample counts; recall/precision are ratio
     estimates of the population values.  At production scale the
-    sampling modulus grows and the estimator is unchanged."""
-    from experts_etl_spark.llm.dedup import hex60
+    sampling modulus grows and the estimator is unchanged —
+    :func:`dedup_lsh_recall_sampled_p8` measures the production-scale
+    p = 1/8 point of exactly this template.  Round 9: the in-sample
+    truth join is the prefix-filter miner (see
+    :func:`_lsh_recall_frame`), bending the r8 superlinear 27× leg."""
+    return _lsh_recall_sampled_plan(spark, sf_dir, mod=3)
 
-    d = read_table(spark, sf_dir, "documents").filter(
-        hex60(F.col("doc_id").cast("string")) % 3 == 0
-    )
-    return _lsh_recall_frame(d)
+
+@query("dedup_lsh_recall_sampled_p8", _lsh_recall_sampled_sql(8))
+def dedup_lsh_recall_sampled_p8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dedup_lsh_recall_sampled` at production sampling p = 1/8
+    (~1/64 of the truth-join shared-shingle volume).  Registered so
+    tools/scale_fit.py can measure the ~p² cost curve of the recall
+    audit the same way the leakage trio was closed (r8 verdict item 1);
+    UNGATED BY DESIGN — the body is the gated p = 1/3 twin's template
+    with only the mod constant changed, and the gate window is spent on
+    first-row queries.  Local sf0.001 oracle parity runs on every
+    pytest (tests/test_oracle_parity.py)."""
+    return _lsh_recall_sampled_plan(spark, sf_dir, mod=8)
 
 
 @query(
