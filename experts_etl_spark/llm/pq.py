@@ -386,6 +386,7 @@ def ivfpq_index(
     cell_mod: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build side of IVFADC: returns ``(cells, books, index)`` — the
     three frames a deployment materializes and amortizes across every
@@ -403,8 +404,10 @@ def ivfpq_index(
     This is the near-linear build phase: every vector scores ~2·n^(1/4)
     coarse centroids once (the two-level hierarchy) and a CONSTANT m·k
     codewords per Lloyd round (fixed-k codebooks, :func:`auto_code_mod`);
-    search batches then never touch full-dimension corpus data."""
-    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod)
+    search batches then never touch full-dimension corpus data.  Pass
+    ``centroids`` to build over a TRAINED coarse quantizer (see
+    :func:`ivf_residuals`)."""
+    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod, centroids)
     if code_mod is None:
         code_mod = auto_code_mod(emb.count())
     rsubs = _subvectors(resid, m).localCheckpoint(eager=False)
@@ -545,6 +548,7 @@ def ivfpq_topk(
     iters: int = 2,
     refine_mult: int = 4,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC end-to-end: :func:`ivfpq_index` then :func:`ivfpq_search`
     — PQ codebooks trained on CELL RESIDUALS, so the codes spend their
@@ -558,7 +562,7 @@ def ivfpq_topk(
     Deployments call the two halves separately and amortize the index
     (measured: search alone is flat across corpus growth — SCALE.md)."""
     cells, books, index = ivfpq_index(
-        emb, id_col, vec_col, m, cell_mod, code_mod, iters
+        emb, id_col, vec_col, m, cell_mod, code_mod, iters, centroids
     )
     return ivfpq_search(
         cells, books, index, emb, probes, id_col, vec_col, k, m,

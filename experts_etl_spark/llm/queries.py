@@ -1205,15 +1205,12 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_topk_ivfpq",
-    f"""
-    WITH n AS ({_NEMB}),
-    cells AS (
-      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
-      WHERE vec_id % {_CENT_MOD} = 0
-    ),
-    {_IVF2_SUPERS},
+# IVFADC oracle chain from cell→super assignment through the exact
+# re-rank `ex` CTE — everything downstream of the `cells`/`supers`
+# CTEs, shared by the stride-seeded (`ann_topk_ivfpq`) and
+# Lloyd-trained (`ann_topk_ivfpq_refined`) variants and the PQ recall
+# audit (`ann_recall_pq`).  Requires `n`, `cells`, `supers` upstream.
+_IVFPQ_CHAIN = f"""
     cell_super AS (
       SELECT cent_id, super_id FROM (
         SELECT c.cent_id, s.super_id,
@@ -1311,13 +1308,41 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM short s
       JOIN n p ON p.vec_id = s.probe_id
       JOIN n c ON c.vec_id = s.cand_id
-    )
+    )"""
+
+_IVFPQ_FINAL = """
     SELECT probe_id, cand_id, rank, cos FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
                   ORDER BY cos DESC, cand_id) AS INT) AS rank
       FROM ex) WHERE rank <= 3
-    """,
-)
+    """
+
+# Stride-seeded coarse cells (the `cells` CTE the chain consumes).
+_IVFPQ_STRIDE_PREFIX = f"""
+    WITH n AS ({_NEMB}),
+    cells AS (
+      SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
+      WHERE vec_id % {_CENT_MOD} = 0
+    ),
+    {_IVF2_SUPERS},"""
+
+# Lloyd-trained coarse cells on the √n-proportional sample — identical
+# to ann_topk_ivf2_refined's training head; the trained cells keep
+# their seed cent_ids so the nested super stride carries over.
+_IVFPQ_REFINED_PREFIX = f"""
+    WITH n AS ({_NEMB}),
+    tr AS (
+      SELECT * FROM n
+      WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
+    ),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
+    {_kmeans_iter_sql('c0', 1, src='tr')},
+    {_kmeans_iter_sql('c1', 2, src='tr')},
+    cells AS (SELECT cent_id, cq, cn2 FROM c2),
+    {_IVF2_SUPERS},"""
+
+
+@query("ann_topk_ivfpq", _IVFPQ_STRIDE_PREFIX + _IVFPQ_CHAIN + _IVFPQ_FINAL)
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC proper (llm/pq.py:ivfpq_topk) — the billion-scale index
     layout: the corpus coarse-quantizes onto ~√n stride-seeded cells
@@ -1343,6 +1368,175 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         e, probes, "vec_id", "embedding", k=3, m=4, iters=2, refine_mult=8
     )
+
+
+@query("ann_topk_ivfpq_refined", _IVFPQ_REFINED_PREFIX + _IVFPQ_CHAIN + _IVFPQ_FINAL)
+def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC over a TRAINED coarse quantizer — the FAISS production
+    shape (faiss.IndexIVFPQ trains its coarse quantizer with k-means
+    before residual-encoding; ``ann_topk_ivfpq``'s stride-seeded cells
+    are the deterministic baseline and cost recall on clustered real
+    data).  Composition of two already-gated paths: the Lloyd-trained
+    √n-sample quantizer (``ann_topk_ivf2_refined``'s training head —
+    kmeans_refined_centroids, train_mod="auto") feeds
+    llm/pq.py:ivfpq_topk via the ``centroids`` pass-through, so PQ
+    residuals are taken against the trained cells and the codes spend
+    their bits on true within-cell detail.  Trained cells keep their
+    seed cent_ids, so the nested super stride — and with it the whole
+    SQL twin — carries over unchanged; everything downstream of the
+    ``cells`` CTE is byte-identical to the stride variant's oracle.
+    Recall ≥ the stride-seeded variant on the clustered fixture is
+    pinned in tests/test_pq.py; build/search split measured in
+    SCALE_FIT (tools/ann_split_timing.py --family ivfpq_refined)."""
+    from experts_etl_spark.llm.pq import ivfpq_topk
+    from experts_etl_spark.llm.similarity import kmeans_refined_centroids
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
+    probes = e.filter(F.col("vec_id") < 32)
+    return ivfpq_topk(
+        e, probes, "vec_id", "embedding", k=3, m=4, iters=2, refine_mult=8,
+        centroids=cents,
+    )
+
+
+@query(
+    "ann_recall_pq",
+    f"""
+    WITH n AS ({_NEMB}),
+    exact AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) DESC,
+                          c.vec_id) AS rank
+        FROM n p JOIN n c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 32
+      ) WHERE rank <= 3
+    ),
+    {_PQ_TRAIN},
+    alut AS (
+      SELECT s.vec_id AS probe_id, s.sub_id, c.code_id,
+             list_dot_product(s.sq, c.cq) AS pdot
+      FROM subs s JOIN pc2 c ON s.sub_id = c.sub_id
+      WHERE s.vec_id < 32
+    ),
+    aadot AS (
+      SELECT l.probe_id, e.vec_id AS cand_id, sum(l.pdot) AS adot
+      FROM enc e JOIN alut l
+        ON e.sub_id = l.sub_id AND e.code_id = l.code_id
+      WHERE e.vec_id <> l.probe_id
+      GROUP BY 1, 2
+    ),
+    aapprox AS (
+      SELECT a.probe_id, a.cand_id,
+             a.adot / sqrt(pn.n2 * cn.n2) AS acos
+      FROM aadot a
+      JOIN n pn ON pn.vec_id = a.probe_id
+      JOIN n cn ON cn.vec_id = a.cand_id
+    ),
+    ashort AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY acos DESC, cand_id) AS arn
+        FROM aapprox) WHERE arn <= 12
+    ),
+    aex AS (
+      SELECT s.probe_id, s.cand_id,
+             list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) AS cos
+      FROM ashort s
+      JOIN n p ON p.vec_id = s.probe_id
+      JOIN n c ON c.vec_id = s.cand_id
+    ),
+    atopk AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, cand_id) AS rk
+        FROM aex) WHERE rk <= 3
+    ),
+    tr AS (
+      SELECT * FROM n
+      WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
+    ),
+    c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
+    {_kmeans_iter_sql('c0', 1, src='tr')},
+    {_kmeans_iter_sql('c1', 2, src='tr')},
+    cells AS (SELECT cent_id, cq, cn2 FROM c2),
+    {_IVF2_SUPERS},{_IVFPQ_CHAIN},
+    rtopk AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, cand_id) AS rk
+        FROM ex) WHERE rk <= 3
+    ),
+    m AS (
+      SELECT 'pq_adc' AS method,
+             (SELECT count(*) FROM exact e JOIN atopk a
+                ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+      UNION ALL
+      SELECT 'ivfpq_refined' AS method,
+             (SELECT count(*) FROM exact e JOIN rtopk a
+                ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+    )
+    SELECT method, hits, possible,
+           CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+    FROM m
+    """,
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 honesty row for the product-quantization family — the
+    ``ann_recall`` duty extended to the PQ paths (r8 verdict missing
+    #1): flat ADC (``ann_topk_pq_adc``'s exact configuration) and the
+    production IVFADC-over-trained-cells path
+    (``ann_topk_ivfpq_refined``) against brute force on the same 32
+    probes.  A user tuning m / PQ_K / nprobe / refine_mult needs this
+    curve, not the score-ratio pins alone: ADC compresses 64 floats to
+    4 codes, so the shortlist can miss true neighbors that the exact
+    re-rank then cannot recover.  Recall is one integer/integer
+    division — bit-identical across engines.  The uniform synthetic
+    corpus is the HARD case for coarse quantization (see
+    ``ann_recall``); clustered-fixture numbers live in tests/test_pq.py
+    and SCALE.md."""
+    from experts_etl_spark.llm.pq import ivfpq_topk, pq_adc_topk
+    from experts_etl_spark.llm.similarity import kmeans_refined_centroids
+
+    e = read_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 32)
+    exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
+        "probe_id", "cand_id"
+    )
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
+    methods = {
+        "pq_adc": pq_adc_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4, iters=2, refine_mult=4
+        ),
+        "ivfpq_refined": ivfpq_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4, iters=2,
+            refine_mult=8, centroids=cents,
+        ),
+    }
+    out = None
+    for name, approx in methods.items():
+        hits = exact.join(
+            approx.select("probe_id", "cand_id"), ["probe_id", "cand_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        possible = exact.agg(F.count(F.lit(1)).alias("possible"))
+        row = hits.crossJoin(possible).select(
+            F.lit(name).alias("method"),
+            "hits",
+            "possible",
+            (F.col("hits").cast("double") / F.col("possible").cast("double")).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @query(

@@ -50,51 +50,69 @@ for mod in (reference_queries, llm_queries):
 # With this window the r02-r08 union gives every registered query a
 # driver row against its CURRENT oracle — the r7 verdict's
 # gate-hygiene invariant, now mechanically enforced by
-# tools/gate_hygiene.py — except the four documented
+# tools/gate_hygiene.py — except the five documented
 # ungated-by-design entries (gate_hygiene.UNGATED_BY_DESIGN):
 # encode_token_ids_arrays (driver cannot canonicalize array columns;
-# ids_str twin gated), training_dedup_leakage_sampled_p8 (sampling-
-# constant template twin of the gated p=1/2 query),
-# ann_pq_codes_incremental (composition of the gated ann_pq_codes
-# train/encode paths over disjoint halves), and ann_pq_recon_error
-# (error-expression audit over the gated ann_pq_codes output; its new
-# per-row arithmetic is pinned by local parity plus the full sweeps,
-# not a driver row).  All four keep local sf0.001 parity every pytest
-# run plus the full sf0.01/sf0.1 sweeps.
+# ids_str twin gated), training_dedup_leakage_sampled_p8 and
+# dedup_lsh_recall_sampled_p8 (sampling-constant template twins of
+# their gated p=1/2 / p=1/3 queries), ann_pq_codes_incremental
+# (composition of the gated ann_pq_codes train/encode paths over
+# disjoint halves), and ann_pq_recon_error (error-expression audit
+# over the gated ann_pq_codes output; its new per-row arithmetic is
+# pinned by local parity plus the full sweeps, not a driver row).
+# All five keep local sf0.001 parity every pytest run plus the full
+# sf0.01/sf0.1 sweeps.
 GATE_ORDER = [
     # --- round-4 additions, kept gated --------------------------------
     "train_val_split",
     "benchmark_contamination",
     "tfidf_topk_terms",
     "sequence_packing",
-    "dedup_cluster_resolution",  # round-6 max_df=100 hot-shingle cap
     "pii_redaction",
     "repetition_metrics",
     "domain_mixture_sample",
     "training_corpus_pipeline",  # round-6 LSH-default funnel miner
-    "epoch_shuffle",             # global_positions path
     "corpus_token_stats",
     "dedup_incremental_ingest",
-    "dedup_lsh_recall",          # recall honesty behind the LSH default
-    "multimodal_dedup",
+    "dedup_lsh_recall",          # r9: truth join now prefix-filter-mined
     "vocab_topk",                # global_positions path
     "encode_token_ids",          # round-6 ids_str hashable projection
     # --- round-5/6 queries ---------------------------------------------
     "training_dedup_leakage",    # funnel audit (now over LSH-mined kept)
     "curation_stream_routing",   # streaming-curation batch twin
-    "ann_topk_ivf2",             # two-level IVF, n^1.25 assignment
-    "ann_topk_ivf2_refined",     # NEW: trained two-level headline
-    "dedup_cluster_resolution_lsh",  # first driver row (r5 item 2)
+    "ann_topk_ivf2_refined",     # trained two-level headline
+    "dedup_cluster_resolution_lsh",  # CC loop over the LSH miner
     # --- ANN pack -------------------------------------------------------
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_sampled",     # r8: first driver row (sampled training)
     "embedding_near_dup_bucketed",
     "ann_recall",
     # --- round-8 rotation: first driver rows ---------------------------
-    "dedup_ngram_jaccard",           # r7 prefix-filter rewrite, now gated
-    "dedup_ngram_jaccard_exact",     # pinned naive exact baseline
-    "dedup_lsh_recall_sampled",      # sampled recall audit (100 TB path)
+    "dedup_ngram_jaccard",           # r7 prefix-filter rewrite, gated r8
+    "dedup_lsh_recall_sampled",      # r9: prefix-mined in-sample truth
     "training_dedup_leakage_sampled",  # Horvitz-Thompson sampled audit
+    # --- round-9 rotation ----------------------------------------------
+    # IN: the two NEW r9 queries (gated on arrival per the hygiene
+    # invariant) and three stale r7-or-older rows proactively refreshed
+    # (r8 verdict item 8): dedup_simhash (r2-vintage miner),
+    # dedup_winnow (r6 max_df cap), text_quality_metrics (r2 pack
+    # anchor).  OUT — every retiree keeps its fresh green r8 row
+    # against an UNCHANGED query+oracle, so the r2-r9 union invariant
+    # holds: ann_topk_ivf2 (stride two-level assignment now also gated
+    # through ann_topk_ivfpq's coarse stage; the trained variant stays
+    # gated), dedup_ngram_jaccard_exact (pinned equal to the gated
+    # prefix query by property test; the naive truth formulation is
+    # also re-proven by dedup_lsh_recall's oracle on every driver run),
+    # dedup_cluster_resolution (the CC resolution loop stays gated via
+    # dedup_cluster_resolution_lsh; the exact miner via
+    # dedup_ngram_jaccard), epoch_shuffle + multimodal_dedup
+    # (global_positions gated via vocab_topk; hash-groupBy dedup via
+    # curation_stream_routing and the funnel).
+    "ann_recall_pq",             # NEW r9: PQ/IVFADC recall@3 honesty
+    "ann_topk_ivfpq_refined",    # NEW r9: IVFADC over trained cells
+    "dedup_simhash",             # rotation: stale r7 row refreshed
+    "dedup_winnow",              # rotation: stale r7 row refreshed
+    "text_quality_metrics",      # rotation: stale r7 row refreshed
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5

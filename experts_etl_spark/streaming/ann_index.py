@@ -68,3 +68,71 @@ def run_streaming_pq_encode(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_ivfpq_search(
+    spark: SparkSession,
+    probes_src: str,
+    cells_path: str,
+    books_path: str,
+    index_path: str,
+    emb_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    refine_mult: int = 4,
+    nprobe: int = 2,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Probe side of the streaming IVFADC deployment: drain
+    ``probes_src`` (``availableNow``) of probe-vector parquet batches,
+    searching each against the MATERIALIZED index triple from
+    ``llm/pq.py:ivfpq_index`` (cells + books + skinny code index; the
+    full corpus at ``emb_path`` is point-read only for the exact
+    re-rank shortlist) and writing (probe_id, cand_id, rank, cos,
+    batch_id) partitions to ``out_dir``.
+
+    The batch twin is ``ivfpq_search`` verbatim — same candidate
+    volume (nprobe·n/nlist per probe), same broadcast LUT, same exact
+    re-rank — so per-tick cost tracks the probe batch, never the
+    corpus, and the standing index is shared by every tick until the
+    next (re)index.  Idempotency: the sink is hive-partitioned on
+    ``batch_id`` with dynamic partition overwrite, so an at-least-once
+    ``foreachBatch`` replay rewrites its own partition instead of
+    appending duplicates — the same guarantee as
+    :func:`run_streaming_pq_encode`."""
+    from experts_etl_spark.llm.pq import ivfpq_search
+
+    cells = spark.read.parquet(cells_path)
+    books = spark.read.parquet(books_path)
+    index = spark.read.parquet(index_path)
+    emb = spark.read.parquet(emb_path)
+    schema = spark.read.parquet(probes_src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(probes_src)
+
+    def search(batch: DataFrame, batch_id: int) -> None:
+        out = ivfpq_search(
+            cells, books, index, emb, batch, id_col, vec_col,
+            k, m, refine_mult, nprobe,
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(search)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -59,8 +59,11 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--vecs1", type=int, default=2000)
     ap.add_argument("--mults", default="1,3,9,27")
-    ap.add_argument("--family", default="both", choices=["ivf2", "ivfpq", "both"],
-                    help="which index family to split-time")
+    ap.add_argument("--family", default="both",
+                    choices=["ivf2", "ivfpq", "ivfpq_refined", "both"],
+                    help="which index family to split-time ('both' = the "
+                         "two r8 families; ivfpq_refined is the r9 "
+                         "trained-coarse-cells composition)")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     assert mults[0] == 1, "the first multiplier must be the 1x base"
@@ -107,9 +110,27 @@ def main() -> None:
             k=3, m=4, refine_mult=8,
         ).count()
 
+    def ivfpq_refined_build(e):
+        # The r9 production composition: trained coarse quantizer
+        # (√n-sample Lloyd) feeding the residual-PQ index build.
+        cents = kmeans_refined_centroids(
+            e, "vec_id", "embedding", iters=2, train_mod="auto"
+        )
+        cells, books, index = ivfpq_index(
+            e, "vec_id", "embedding", m=4, centroids=cents
+        )
+        return (
+            cells.localCheckpoint(),
+            books.localCheckpoint(),
+            index.localCheckpoint(),
+        )
+
     families = {
         "ivf2": ("ann_ivf2_refined", ivf2_build, ivf2_probe),
         "ivfpq": ("ann_ivfpq", ivfpq_build, ivfpq_probe),
+        "ivfpq_refined": (
+            "ann_ivfpq_refined", ivfpq_refined_build, ivfpq_probe,
+        ),
     }
     todo = ["ivf2", "ivfpq"] if args.family == "both" else [args.family]
 

@@ -61,6 +61,10 @@ UNGATED_BY_DESIGN = {
     # only the sampling constant changed (p=1/8); exists so scale_fit
     # can measure the production cost point.
     "training_dedup_leakage_sampled_p8",
+    # Same pattern for the recall audit (r9): template twin of the
+    # gated dedup_lsh_recall_sampled with only the sampling modulus
+    # changed (p=1/8), so scale_fit can measure the p² cost curve.
+    "dedup_lsh_recall_sampled_p8",
     # Composition-only variant: train and encode paths are both
     # driver-gated via ann_pq_codes; this pins their composition over
     # disjoint corpus halves (incremental ingest).  Local sf0.001
