@@ -85,6 +85,9 @@ HEADLINE = [
     # round-8 additions: product quantization (llm/pq.py)
     "ann_pq_codes",              # PQ train+encode (index build)
     "ann_topk_ivfpq",            # IVFADC residual-code search
+    # round-9 addition: the FAISS production composition (trained
+    # coarse quantizer + residual PQ) — the ANN headline path
+    "ann_topk_ivfpq_refined",
 ]
 
 

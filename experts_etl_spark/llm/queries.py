@@ -658,6 +658,69 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, "vec_id", "embedding", 0.35)
 
 
+@query(
+    "embedding_semantic_dedup_seq",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base),
+    el AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM n a JOIN n b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    ),
+    st(it, v, s) AS (
+      SELECT 0, vec_id, 'u' FROM embeddings
+      UNION ALL
+      SELECT s.it + 1, s.v,
+        CASE WHEN coalesce(a.keptn, 0) > 0 THEN 'd'
+             WHEN coalesce(a.undecn, 0) = 0 THEN 'k'
+             ELSE 'u' END
+      FROM st s
+      LEFT JOIN (
+        SELECT el.hi AS v,
+               sum(CASE WHEN s2.s = 'k' THEN 1 ELSE 0 END) AS keptn,
+               sum(CASE WHEN s2.s = 'u' THEN 1 ELSE 0 END) AS undecn
+        FROM el JOIN st s2 ON s2.v = el.lo
+        GROUP BY el.hi
+      ) a ON a.v = s.v
+      WHERE EXISTS (SELECT 1 FROM st WHERE st.s = 'u')
+    )
+    SELECT v AS vec_id, s = 'k' AS kept
+    FROM st WHERE it = (SELECT max(it) FROM st)
+    """,
+)
+def embedding_semantic_dedup_seq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT SemDeDup sequential greedy
+    (llm/similarity.py:semantic_dedup_sequential): ids scanned
+    ascending, a vector kept iff no already-KEPT lower-id vector
+    within cosine 0.35 among its SRP-blocked candidates — the
+    lexicographically-first maximal independent set on the blocked
+    ε-graph, i.e. the paper's rule with its coverage guarantee (every
+    dropped vector has a KEPT representative within ε).  Distributed
+    as a monotone status fixpoint (rounds = ε-chain decision depth,
+    decided statuses never revised); the oracle replays it as a
+    recursive CTE carrying the full per-round status table and
+    terminating at the same no-undecided fixpoint, so the final
+    statuses it hash-pins are produced by the same round structure,
+    not a closed-form shortcut.  Same blocked-pair stage as the gated
+    one-pass
+    ``embedding_semantic_dedup``; same (vec_id, kept) full-corpus
+    shape."""
+    from experts_etl_spark.llm.similarity import semantic_dedup_sequential
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_sequential(e, "vec_id", "embedding", 0.35)
+
+
 def _kmeans_iter_sql(cprev: str, k: int, src: str = "n") -> str:
     return f"""
     a{k} AS (SELECT vec_id, q, n2, cent_id FROM (

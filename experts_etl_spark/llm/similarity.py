@@ -229,9 +229,10 @@ def semantic_dedup(
     are dropped even though c's only ε-neighbor b was itself dropped —
     the paper's sequential scan would keep c.  The one-pass rule is
     strictly MORE aggressive (drop-set ⊇ sequential greedy's) and
-    embarrassingly parallel — the sequential rule is an inherently
-    ordered fixpoint; at 100 TB the single pass over the blocked pair
-    list is the scalable trade.  ε-chains do NOT collapse to one
+    embarrassingly parallel; the paper's exact rule is
+    :func:`semantic_dedup_sequential`, which pays ε-chain-depth
+    fixpoint rounds for the coverage guarantee.  ε-chains do NOT
+    collapse to one
     representative per connected component (that stronger collapse is
     :func:`~experts_etl_spark.llm.curation.resolve_duplicate_clusters`);
     but a dropped vector's nearest lower-id neighbor may itself be
@@ -249,6 +250,110 @@ def semantic_dedup(
         .join(dups.withColumn("_d", F.lit(1)), id_col, "left")
         .select(F.col(id_col), F.col("_d").isNull().alias("kept"))
     )
+
+
+def _sequential_keep(
+    verts: DataFrame, edges: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Lexicographically-first maximal independent set on a DAG of
+    ``(lo, hi)`` edges with ``lo < hi`` — the fixpoint core of
+    :func:`semantic_dedup_sequential`, factored out so tests can feed
+    synthetic edge lists directly.
+
+    ``verts`` must have a single column ``_vid``; returns
+    ``(_vid, kept)``.  Distributed as a monotone status iteration:
+    every vertex is undecided ('u') until its fate follows from its
+    LOWER-id neighbours — dropped ('d') the round after any lower
+    neighbour is kept, kept ('k') the round after all lower neighbours
+    are decided non-kept (vacuously in round one for vertices with no
+    lower neighbour).  Decided statuses are correct ON ARRIVAL (a
+    decision only ever derives from already-correct lower decisions,
+    by induction from the no-lower-neighbour base), so nothing is
+    revised and the loop converges in decision-depth rounds — the
+    longest lo→hi chain in the ε-graph, which for near-dup clusters is
+    the cluster radius in ε-hops (2-4), not n.  Each round is one
+    shuffle join edge-list⋈statuses plus one aggregate, both
+    partitioned on the vertex id; per-round eager ``localCheckpoint``
+    truncates lineage and the convergence probe is a single scalar
+    action (count of undecided), the
+    :func:`~experts_etl_spark.llm.curation.connected_components`
+    discipline."""
+    el = edges.select("lo", "hi").localCheckpoint(eager=False)
+    st = verts.select("_vid", F.lit("u").alias("_st")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iter):
+        nbr = (
+            el.join(st, el["lo"] == st["_vid"])
+            .groupBy("hi")
+            .agg(
+                F.sum((F.col("_st") == "k").cast("long")).alias("_keptn"),
+                F.sum((F.col("_st") == "u").cast("long")).alias("_undecn"),
+            )
+        )
+        st = (
+            verts.join(nbr, verts["_vid"] == nbr["hi"], "left")
+            .select(
+                "_vid",
+                F.when(F.coalesce("_keptn", F.lit(0)) > 0, F.lit("d"))
+                .when(F.coalesce("_undecn", F.lit(0)) == 0, F.lit("k"))
+                .otherwise(F.lit("u"))
+                .alias("_st"),
+            )
+            .localCheckpoint()  # eager: truncate lineage each round
+        )
+        undecided = st.agg(
+            F.sum((F.col("_st") == "u").cast("long"))
+        ).collect()[0][0]
+        if not undecided:
+            return st.select("_vid", (F.col("_st") == "k").alias("kept"))
+    raise RuntimeError(
+        f"sequential dedup did not converge in {max_iter} rounds — "
+        "the ε-graph has a lo→hi chain deeper than max_iter; raise "
+        "max_iter (cost is linear in depth) or lower the threshold"
+    )
+
+
+def semantic_dedup_sequential(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int | None = None,
+    probe_hamming: int = 1,
+    max_iter: int = 64,
+) -> DataFrame:
+    """EXACT SemDeDup sequential greedy (Abbas et al. 2023): scan ids
+    ascending, keep a vector iff no already-KEPT lower-id vector sits
+    within cosine ``threshold`` among its blocked candidates — the
+    lexicographically-first maximal independent set on the blocked
+    ε-graph.  This is the paper's rule with its coverage guarantee
+    intact: every dropped vector has a KEPT representative within ε
+    (its dropping witness is kept by construction), which the one-pass
+    :func:`semantic_dedup` trades away for a single parallel pass
+    (there, on an ε-chain a < b < c both b and c drop and c has no
+    kept neighbour).  Sequential keeps a SUPERSET of one-pass's kept
+    set — one-pass remains the cheaper upper bound on dropping;
+    sequential is the faithful implementation.
+
+    The inherently-ordered scan distributes as the
+    :func:`_sequential_keep` status fixpoint over the
+    :func:`bucketed_near_dup` pair list — rounds = ε-chain decision
+    depth, each one edge-list-partitioned join + aggregate, so the
+    100 TB cost is (depth ≈ cluster radius, small) × (one linear
+    blocked join), not a driver-side scan.  Returns the FULL corpus as
+    (id, kept), the same shape as :func:`semantic_dedup`."""
+    pairs = bucketed_near_dup(
+        emb, id_col, vec_col, threshold, bits, probe_hamming
+    )
+    kept = _sequential_keep(
+        emb.select(F.col(id_col).alias("_vid")),
+        pairs.select(
+            F.col("id1").alias("lo"), F.col("id2").alias("hi")
+        ),
+        max_iter,
+    )
+    return kept.select(F.col("_vid").alias(id_col), "kept")
 
 
 def ivf_topk(

@@ -85,14 +85,13 @@ GATE_ORDER = [
     # --- ANN pack -------------------------------------------------------
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_sampled",     # r8: first driver row (sampled training)
-    "embedding_near_dup_bucketed",
     "ann_recall",
     # --- round-8 rotation: first driver rows ---------------------------
     "dedup_ngram_jaccard",           # r7 prefix-filter rewrite, gated r8
     "dedup_lsh_recall_sampled",      # r9: prefix-mined in-sample truth
     "training_dedup_leakage_sampled",  # Horvitz-Thompson sampled audit
     # --- round-9 rotation ----------------------------------------------
-    # IN: the two NEW r9 queries (gated on arrival per the hygiene
+    # IN: the three NEW r9 queries (gated on arrival per the hygiene
     # invariant) and three stale r7-or-older rows proactively refreshed
     # (r8 verdict item 8): dedup_simhash (r2-vintage miner),
     # dedup_winnow (r6 max_df cap), text_quality_metrics (r2 pack
@@ -107,9 +106,14 @@ GATE_ORDER = [
     # dedup_cluster_resolution_lsh; the exact miner via
     # dedup_ngram_jaccard), epoch_shuffle + multimodal_dedup
     # (global_positions gated via vocab_topk; hash-groupBy dedup via
-    # curation_stream_routing and the funnel).
+    # curation_stream_routing and the funnel), and
+    # embedding_near_dup_bucketed (the SRP-blocked pair stage is
+    # replayed verbatim inside BOTH gated SemDeDup oracles —
+    # embedding_semantic_dedup and the new _seq — so the blocked pair
+    # set stays hash-proven twice over).
     "ann_recall_pq",             # NEW r9: PQ/IVFADC recall@3 honesty
     "ann_topk_ivfpq_refined",    # NEW r9: IVFADC over trained cells
+    "embedding_semantic_dedup_seq",  # NEW r9: exact sequential greedy
     "dedup_simhash",             # rotation: stale r7 row refreshed
     "dedup_winnow",              # rotation: stale r7 row refreshed
     "text_quality_metrics",      # rotation: stale r7 row refreshed
