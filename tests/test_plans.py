@@ -101,6 +101,11 @@ def test_no_cartesian_products_anywhere(spark):
         "training_dedup_leakage",  # 1-row count aggregates cross-joined
         "ann_topk_ivfpq",        # super/cell broadcast (ivf2 assignment)
                                  # + probe×cells cell-dot broadcast
+        "ann_topk_ivfpq_refined",  # same shape over trained cells
+        "ann_recall_pq",         # brute-force baseline + 1-row agg
+                                 # cross joins (the ann_recall shape)
+        "dedup_lsh_recall_sampled_p8",  # template twin of
+                                 # dedup_lsh_recall_sampled (1-row aggs)
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))
