@@ -296,6 +296,118 @@ def span_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_words: int = 5,
+    max_sf: int = 2,
+) -> DataFrame:
+    """UNALIGNED repeated-substring removal — the ExactSubstr rule
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499) at word granularity.  The
+    companion :func:`span_dedup` chunks documents into ALIGNED blocks,
+    so a boilerplate phrase repeated at different word offsets in
+    different documents straddles two blocks and slips through; here a
+    ``window_words``-word window slides over EVERY offset (the
+    posexplode + ``lead`` formulation from
+    :func:`~experts_etl_spark.llm.dedup.doc_shingles` — whole-stage
+    codegen, not the per-position array-slice trap), windows occurring
+    more than ``max_sf`` times corpus-wide mark every word they cover,
+    and covered words are cut with the survivors reassembled in order.
+    Windows are KEYED BY md5 of the window text: the frequency groupBy
+    and the hot-set join shuffle a fixed-width 32-char key instead of
+    the k-word string — at corpus scale the window text dominates
+    shuffle bytes (measured at 27× = 14M windows: 53.0s → 9.3s, 5.7×,
+    exp 1.18 → 0.65; SCALE.md §Round-9) — and md5 is bit-identical
+    across engines so the oracle keys the same way (a 128-bit
+    collision is negligible, and would only co-count two distinct
+    windows).
+
+    Two deliberate deviations from the paper, stated: suffix arrays
+    find ALL maximal repeats ≥ some byte length, while fixed-width
+    sliding windows detect exactly the repeats of ≥ ``window_words``
+    words (a repeat of w ≥ k words is covered by its w−k+1 hot windows
+    — the union of their coverage is the full repeat, so detection is
+    equivalent above the threshold and the removal boundary is
+    word-aligned); and EVERY occurrence of a hot window is removed
+    (boilerplate semantics, matching :func:`span_dedup` and C4)
+    rather than all-but-one.
+
+    Scale shape: one (id, pos) sort-window builds all windows; window
+    frequency is a map-side-combined ``groupBy``; the over-cap set
+    joins back LEFT SEMI on the window string — row-preserving hash
+    join, no pairwise blowup, so hot boilerplate keys skew a lookup,
+    not a self-join; coverage expands each hot window by a bounded
+    ``sequence`` explode (k rows per hit) and dedups on (id, pos);
+    removal is one anti-join and reassembly one doc-keyed
+    aggregation.
+
+    Returns (id, n_words, n_removed, clean_text); a fully-boilerplate
+    document survives with ``clean_text = ''`` like :func:`span_dedup`.
+    """
+    from pyspark.sql import Window
+
+    from experts_etl_spark.llm.text import words
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
+    ).localCheckpoint(eager=False)  # feeds windows, totals, and removal
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", j).over(win) for j in range(1, window_words)
+    ]
+    wins = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("win"),
+            parts[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+        .localCheckpoint(eager=False)  # feeds the frequency scan + mark
+    )
+    hot = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_sf"))
+        .filter(F.col("_sf") > max_sf)
+        .select("win")
+    )
+    covered = (
+        wins.join(hot, "win", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + (window_words - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.col("n_words").cast("int").alias("n_words"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain-mixture resampling
 # ---------------------------------------------------------------------------

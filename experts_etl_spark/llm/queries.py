@@ -2901,6 +2901,91 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd(d, "text", "doc_id")
 
 
+def _substr_dedup_sql(k: int) -> str:
+    """Oracle template for :func:`dedup_exact_substrings` — the window
+    width is the only parameter (the ``_lsh_recall_sampled_sql``
+    pattern, so the w=10 scale twin shares every other byte)."""
+    return f"""
+    WITH base AS (SELECT doc_id, {_W} AS w FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM base
+    ),
+    wins AS (
+      SELECT t.doc_id, t.pos,
+             md5(array_to_string(b.w[t.pos : t.pos + {k - 1}], ' ')) AS win
+      FROM toks t JOIN base b USING (doc_id)
+      WHERE t.pos + {k - 1} <= len(b.w)
+    ),
+    hot AS (SELECT win FROM wins GROUP BY 1 HAVING count(*) > 2),
+    covered AS (
+      SELECT DISTINCT d.doc_id, d.pos + r.off AS pos
+      FROM (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (win)) d
+      CROSS JOIN range(0, {k}) r(off)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.word
+      FROM toks t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_words FROM toks GROUP BY 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(t.n_words AS INT) AS n_words,
+           CAST(t.n_words - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """
+
+
+@query("dedup_exact_substrings", _substr_dedup_sql(5))
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNALIGNED repeated-substring removal (llm/curation.py:
+    substring_dedup — the Lee et al. 2022 ExactSubstr rule at word
+    granularity): a 5-word window slides over EVERY offset, windows
+    occurring more than twice corpus-wide mark every word they cover,
+    covered words are cut and survivors reassembled in order.  Catches
+    the boilerplate that the aligned-block `span_dedup` misses when a
+    repeated phrase sits at different offsets in different documents;
+    a repeat of w ≥ 5 words is covered exactly by its w−4 hot windows,
+    so detection is offset-independent above the window width.  The
+    oracle builds the same windows by list slicing, the same over-cap
+    set, and the same coverage expansion.
+
+    w=5 keeps the rule exercisable at sf0.001; on the small-vocabulary
+    synthetic corpus random 5-gram triples saturate the hot set as the
+    corpus grows (the measured exp-1.18 term, SCALE.md §Round-9) —
+    real deployments use wide windows (the paper: 50 BPE tokens) where
+    chance repeats vanish; ``dedup_exact_substrings_w10`` is the
+    measured scale twin."""
+    from experts_etl_spark.llm.curation import substring_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return substring_dedup(d, "text", "doc_id")
+
+
+@query("dedup_exact_substrings_w10", _substr_dedup_sql(10))
+def dedup_exact_substrings_w10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dedup_exact_substrings` at window_words = 10 — the
+    production-leaning width where chance n-gram repeats are rare on
+    any corpus (the paper uses 50 BPE tokens; 10 words is the widest
+    the sf0.001 fixtures still exercise).  UNGATED BY DESIGN — the
+    body is the gated w=5 query's template with only the window-width
+    constant changed (both Spark and SQL sides share one template),
+    the ``dedup_lsh_recall_sampled_p8`` pattern; exists so scale_fit
+    can measure the width's effect on the hot-set saturation term."""
+    from experts_etl_spark.llm.curation import substring_dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return substring_dedup(d, "text", "doc_id", window_words=10)
+
+
 @query(
     "curation_stream_routing",
     f"""

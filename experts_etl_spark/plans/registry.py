@@ -80,7 +80,6 @@ GATE_ORDER = [
     # --- round-5/6 queries ---------------------------------------------
     "training_dedup_leakage",    # funnel audit (now over LSH-mined kept)
     "curation_stream_routing",   # streaming-curation batch twin
-    "ann_topk_ivf2_refined",     # trained two-level headline
     "dedup_cluster_resolution_lsh",  # CC loop over the LSH miner
     # --- ANN pack -------------------------------------------------------
     "ann_ivf_kmeans",
@@ -106,14 +105,20 @@ GATE_ORDER = [
     # dedup_cluster_resolution_lsh; the exact miner via
     # dedup_ngram_jaccard), epoch_shuffle + multimodal_dedup
     # (global_positions gated via vocab_topk; hash-groupBy dedup via
-    # curation_stream_routing and the funnel), and
+    # curation_stream_routing and the funnel),
     # embedding_near_dup_bucketed (the SRP-blocked pair stage is
     # replayed verbatim inside BOTH gated SemDeDup oracles —
     # embedding_semantic_dedup and the new _seq — so the blocked pair
-    # set stays hash-proven twice over).
+    # set stays hash-proven twice over), and ann_topk_ivf2_refined
+    # (its trained quantizer + nested-super two-level search is the
+    # coarse stage of the gated ann_topk_ivfpq_refined, which composes
+    # the same kmeans_refined_centroids through the same assignment;
+    # the PQ-free refined search keeps its fresh green r8 row and
+    # local parity).
     "ann_recall_pq",             # NEW r9: PQ/IVFADC recall@3 honesty
     "ann_topk_ivfpq_refined",    # NEW r9: IVFADC over trained cells
     "embedding_semantic_dedup_seq",  # NEW r9: exact sequential greedy
+    "dedup_exact_substrings",    # NEW r9: unaligned ExactSubstr windows
     "dedup_simhash",             # rotation: stale r7 row refreshed
     "dedup_winnow",              # rotation: stale r7 row refreshed
     "text_quality_metrics",      # rotation: stale r7 row refreshed

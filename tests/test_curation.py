@@ -316,3 +316,86 @@ def test_funnel_lsh_miner_matches_exact_at_test_scale(spark):
         for r in minhash_lsh_dedup(gated, "text", "doc_id", 0.5).collect()
     }
     assert lsh == exact
+
+
+def test_substring_dedup_catches_unaligned_boilerplate(spark):
+    """The defining case vs span_dedup: the same 6-word boilerplate
+    phrase at DIFFERENT word offsets in three documents.  Aligned
+    10-word blocks differ (the phrase straddles block boundaries at
+    different positions) so span_dedup removes nothing; the sliding
+    5-word windows match at every offset and substring_dedup cuts the
+    phrase from all three docs, leaving unique content in order."""
+    from experts_etl_spark.llm.curation import span_dedup, substring_dedup
+
+    boiler = "all rights reserved contact us here"  # 6 words
+    docs = [
+        (0, boiler + " alpha bravo charlie delta echo"),
+        (1, "foxtrot golf " + boiler + " hotel india"),
+        (2, "juliet kilo lima mike november " + boiler),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup(df, "text", "doc_id").collect()
+    }
+    # 6-word repeat = two overlapping hot 5-windows; union covers all 6
+    assert got[0]["n_removed"] == 6 and got[0]["clean_text"] == (
+        "alpha bravo charlie delta echo"
+    )
+    assert got[1]["n_removed"] == 6 and got[1]["clean_text"] == (
+        "foxtrot golf hotel india"
+    )
+    assert got[2]["n_removed"] == 6 and got[2]["clean_text"] == (
+        "juliet kilo lima mike november"
+    )
+    # span_dedup's aligned blocks miss the offset-shifted repeat
+    aligned = {
+        r["doc_id"]: r for r in span_dedup(df, "text", "doc_id").collect()
+    }
+    assert all(aligned[i]["n_removed"] == 0 for i in range(3))
+
+
+def test_substring_dedup_identity_when_cap_unreachable(spark):
+    """With an unreachable frequency cap the window/anti-join/reassembly
+    round-trip is lossless against the normalized original."""
+    from experts_etl_spark.llm.curation import substring_dedup
+    from experts_etl_spark.llm.text import words
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents").limit(50)
+    got = substring_dedup(d, "text", "doc_id", max_sf=10**9)
+    norm = d.select(
+        "doc_id", F.array_join(words(F.col("text")), " ").alias("norm")
+    )
+    diff = (
+        got.join(norm, "doc_id")
+        .filter(
+            (F.col("clean_text") != F.col("norm"))
+            | (F.col("n_removed") != 0)
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_substring_dedup_short_docs_and_within_doc_repeats(spark):
+    """Documents shorter than the window produce no windows and pass
+    through untouched; a window repeated 3x WITHIN one document counts
+    toward the corpus threshold exactly like cross-document repeats
+    (frequency is occurrence-counted, not document-counted)."""
+    from experts_etl_spark.llm.curation import substring_dedup
+
+    rep = "one two three four five"  # 5 words, one window per occurrence
+    docs = [
+        (0, "tiny doc"),                        # < window, untouched
+        (1, f"{rep} x {rep} y {rep}"),          # 3 in-doc occurrences
+        (2, "unrelated words entirely here now six"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup(df, "text", "doc_id").collect()
+    }
+    assert got[0]["n_removed"] == 0 and got[0]["clean_text"] == "tiny doc"
+    assert got[1]["n_removed"] == 15 and got[1]["clean_text"] == "x y"
+    assert got[2]["n_removed"] == 0

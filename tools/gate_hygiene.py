@@ -65,6 +65,11 @@ UNGATED_BY_DESIGN = {
     # gated dedup_lsh_recall_sampled with only the sampling modulus
     # changed (p=1/8), so scale_fit can measure the p² cost curve.
     "dedup_lsh_recall_sampled_p8",
+    # Same pattern for the substring audit (r9): template twin of the
+    # gated dedup_exact_substrings with only the window-width constant
+    # changed (w=10), so scale_fit can measure the hot-set saturation
+    # term's dependence on window width.
+    "dedup_exact_substrings_w10",
     # Composition-only variant: train and encode paths are both
     # driver-gated via ann_pq_codes; this pins their composition over
     # disjoint corpus halves (incremental ingest).  Local sf0.001
