@@ -300,3 +300,59 @@ def test_ivfpq_trained_cells_at_least_stride(spark, clustered_dir):
         1 for r in got_stride if (r["probe_id"], r["cand_id"]) in truth
     )
     assert hits_refined >= hits_stride, (hits_refined, hits_stride)
+
+
+def test_pq_read_knobs_monotone_on_clustered(spark, clustered_dir):
+    """The two read-side recall levers move quality the right way at
+    probe-side-only cost (the SCALE.md knob-attribution table).  For
+    flat ADC, widening the exact-re-rank shortlist (refine_mult) can
+    NEVER lower any probe's effective recall — the wider shortlist is
+    a superset under the same ADC ordering, so the exact re-rank picks
+    from strictly more candidates.  For IVFADC, probing more coarse
+    cells (nprobe) enlarges the CANDIDATE set but the ADC-ordered
+    shortlist over a superset is not itself a superset, so per-probe
+    monotonicity is an empirical pin on this fixture (deterministic:
+    fixed data, seeds, and tie-breaks), not a theorem — if it ever
+    fails, the shortlist admitted a high-ADC/low-true candidate and
+    refine_mult is the compensating knob.  Both pins are per-probe,
+    not aggregate — one degraded probe fails."""
+    from experts_etl_spark.llm.pq import ivfpq_topk
+    from experts_etl_spark.llm.similarity import kmeans_refined_centroids
+
+    e = read_table(spark, clustered_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 16)
+    narrow, _ = _score_ratios(
+        spark, e, probes,
+        lambda: pq_adc_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4, refine_mult=4
+        ),
+    )
+    wide, _ = _score_ratios(
+        spark, e, probes,
+        lambda: pq_adc_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4, refine_mult=16
+        ),
+    )
+    eps = 1e-9  # float-sum noise only; the shortlist is a superset
+    bad = {p: (narrow[p], wide[p]) for p in narrow if wide[p] < narrow[p] - eps}
+    assert not bad, bad
+
+    cents = kmeans_refined_centroids(
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
+    )
+    few, _ = _score_ratios(
+        spark, e, probes,
+        lambda: ivfpq_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4,
+            refine_mult=8, nprobe=2, centroids=cents,
+        ),
+    )
+    many, _ = _score_ratios(
+        spark, e, probes,
+        lambda: ivfpq_topk(
+            e, probes, "vec_id", "embedding", k=3, m=4,
+            refine_mult=8, nprobe=4, centroids=cents,
+        ),
+    )
+    bad = {p: (few[p], many[p]) for p in few if many[p] < few[p] - eps}
+    assert not bad, bad
