@@ -47,7 +47,7 @@ for mod in (reference_queries, llm_queries):
 #     training_corpus_pipeline (LSH-default funnel);
 #   person_sync_xml → F14/S7 stay gated via person_cycle_xml (the
 #     denser composite over the same renderer + sink).
-# With this window the r02-r08 union gives every registered query a
+# With this window the r02-r09 union gives every registered query a
 # driver row against its CURRENT oracle — the r7 verdict's
 # gate-hygiene invariant, now mechanically enforced by
 # tools/gate_hygiene.py — except the five documented
@@ -55,11 +55,15 @@ for mod in (reference_queries, llm_queries):
 # encode_token_ids_arrays (driver cannot canonicalize array columns;
 # ids_str twin gated), training_dedup_leakage_sampled_p8 and
 # dedup_lsh_recall_sampled_p8 (sampling-constant template twins of
-# their gated p=1/2 / p=1/3 queries), ann_pq_codes_incremental
-# (composition of the gated ann_pq_codes train/encode paths over
-# disjoint halves), and ann_pq_recon_error (error-expression audit
-# over the gated ann_pq_codes output; its new per-row arithmetic is
-# pinned by local parity plus the full sweeps, not a driver row).
+# their gated p=1/2 / p=1/3 queries), dedup_exact_substrings_w10
+# (window-width template twin of the gated w=5 query), and
+# ann_pq_codes_incremental (composition of the gated ann_pq_codes
+# train/encode paths over disjoint halves).  ann_pq_recon_error —
+# previously on this list — is GATED as of round 9 (the r8 ADVICE
+# option taken: its per-row error arithmetic now earns a driver row;
+# ann_topk_pq_adc rotates out to make room — the flat-ADC search it
+# anchored runs verbatim inside the gated ann_recall_pq's pq_adc arm,
+# and the PQ train/encode underneath stays gated via ann_pq_codes).
 # All five keep local sf0.001 parity every pytest run plus the full
 # sf0.01/sf0.1 sweeps.
 GATE_ORDER = [
@@ -148,7 +152,9 @@ GATE_ORDER = [
     # quality gate and curation_stream_routing); both keep fresh r7
     # driver rows and local parity.
     "ann_pq_codes",              # PQ train+encode, hash-pinned
-    "ann_topk_pq_adc",           # ADC search + exact re-rank
+    "ann_pq_recon_error",        # r9: recon-error audit gated (ADVICE);
+                                 # flat-ADC search stays driver-run via
+                                 # ann_recall_pq's pq_adc arm
     "ann_topk_ivfpq",            # IVFADC: residual codebooks + celldot
     "embedding_semantic_dedup",  # SemDeDup greedy ε-ball resolution
     # (third/fourth swap-outs: dedup_simhash and dedup_winnow —

@@ -75,13 +75,9 @@ UNGATED_BY_DESIGN = {
     # disjoint corpus halves (incremental ingest).  Local sf0.001
     # parity + full sweeps like every registered query.
     "ann_pq_codes_incremental",
-    # Quality-audit expression over the gated ann_pq_codes train/encode
-    # output (per-subspace reconstruction error in integer ppm).  The
-    # error expression itself (zip_with residual diff, ppm floor) is new
-    # per-row arithmetic pinned by local sf0.001 parity plus the full
-    # sf0.01/sf0.1 sweeps rather than a driver row; the distributed
-    # plan underneath (train/encode) is driver-gated via ann_pq_codes.
-    "ann_pq_recon_error",
+    # (ann_pq_recon_error was on this list in r8; GATED as of r9 —
+    # the r8 ADVICE option taken — so its per-row error arithmetic
+    # now earns a driver row like every other audit expression.)
 }
 
 
@@ -104,10 +100,22 @@ def build_manifest() -> dict:
 
 
 def last_snapshot_manifest() -> dict | None:
-    """GATE_MANIFEST.json as of the latest driver snapshot commit."""
+    """GATE_MANIFEST.json as of the latest driver snapshot commit.
+
+    The driver titles its per-round snapshots "round N: verdict/
+    advice/correctness/bench"; the tool's own introduction commit
+    said "end-of-round snapshot".  Both patterns anchor the baseline
+    (multiple --grep = OR, newest match wins) — the r8 version only
+    knew the second, so the baseline never advanced past the tool's
+    birth and a query that ARRIVED gated in round N could never
+    rotate out in round N+1 despite its green driver row.  The
+    invariant is "changed or new since the last DRIVER-VERIFIED
+    state must be gated", so the baseline must track the driver's
+    snapshots."""
     try:
         commit = subprocess.run(
             ["git", "log", "--grep", "end-of-round snapshot",
+             "--grep", r"^round [0-9]\+: verdict/advice/correctness",
              "-1", "--format=%H"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
