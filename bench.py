@@ -75,7 +75,10 @@ HEADLINE = [
     "ann_topk_ivf2",
     "dedup_cluster_resolution_lsh",
     # round-6 additions
-    "ann_topk_ivf2_refined",
+    # ann_topk_ivf2_refined dropped r10: superseded non-PQ baseline
+    # (composite exp drifted to 0.97 as training grew; the production
+    # trained path is ann_topk_ivfpq_refined below, same coverage) —
+    # the same retirement ann_topk_ivf_refined got in r8.
     "training_dedup_leakage_sampled",
     # round-8 additions: the production scale paths rotated into the
     # gate this round

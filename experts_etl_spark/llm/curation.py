@@ -345,6 +345,12 @@ def substring_dedup(
 
     Returns (id, n_words, n_removed, clean_text); a fully-boilerplate
     document survives with ``clean_text = ''`` like :func:`span_dedup`.
+    A document whose text normalizes to ZERO words (empty/whitespace/
+    punctuation-only) is DROPPED from the result entirely — ``totals``
+    derives from the exploded tokens, so tokenless docs never enter it
+    (the DuckDB oracle drops them identically; :func:`span_dedup` has
+    the same shape).  Callers that need every input id represented
+    should left-join the result back onto the input ids.
     """
     from pyspark.sql import Window
 

@@ -17,8 +17,11 @@ This tool makes the invariant checkable by machine:
 
 ``--check``
     Compare the regenerated manifest against the manifest at the most
-    recent driver snapshot commit (``round N: end-of-round snapshot``)
-    — i.e. against what the judge last saw.  Every query whose source
+    recent driver snapshot commit — the newest commit whose SUBJECT
+    line matches ``round N: verdict/advice/correctness/bench`` (the
+    driver's per-round snapshot title) or ``end-of-round snapshot``
+    (this tool's introduction commit) — i.e. against what the judge
+    last saw.  Every query whose source
     or oracle hash changed since then, and every newly registered
     query, must either sit inside the CURRENT ``GATE_ORDER`` (so this
     round's driver run hashes it against its current oracle) or be
@@ -104,21 +107,35 @@ def last_snapshot_manifest() -> dict | None:
 
     The driver titles its per-round snapshots "round N: verdict/
     advice/correctness/bench"; the tool's own introduction commit
-    said "end-of-round snapshot".  Both patterns anchor the baseline
-    (multiple --grep = OR, newest match wins) — the r8 version only
-    knew the second, so the baseline never advanced past the tool's
-    birth and a query that ARRIVED gated in round N could never
-    rotate out in round N+1 despite its green driver row.  The
-    invariant is "changed or new since the last DRIVER-VERIFIED
-    state must be gated", so the baseline must track the driver's
-    snapshots."""
+    said "end-of-round snapshot".  Both patterns anchor the baseline,
+    newest match wins — the r8 version only knew the second, so the
+    baseline never advanced past the tool's birth and a query that
+    ARRIVED gated in round N could never rotate out in round N+1
+    despite its green driver row.  The r9 fix used ``git log --grep``,
+    which matches the FULL message: a commit whose *body* merely
+    quotes a snapshot title (38639ae did) then becomes the baseline —
+    byte-identical to HEAD, so --check passes vacuously and the
+    invariant is silently disabled.  Hence: match SUBJECT lines only,
+    in Python.  The invariant is "changed or new since the last
+    DRIVER-VERIFIED state must be gated", so the baseline must track
+    the driver's snapshots and nothing newer."""
+    import re
+
+    subject_pat = re.compile(
+        r"^(round \d+: verdict/advice/correctness|"
+        r"round \d+: end-of-round snapshot|end-of-round snapshot)"
+    )
     try:
-        commit = subprocess.run(
-            ["git", "log", "--grep", "end-of-round snapshot",
-             "--grep", r"^round [0-9]\+: verdict/advice/correctness",
-             "-1", "--format=%H"],
+        log = subprocess.run(
+            ["git", "log", "--format=%H%x09%s"],
             cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.strip()
+        ).stdout
+        commit = ""
+        for line in log.splitlines():
+            sha, _, subject = line.partition("\t")
+            if subject_pat.match(subject):
+                commit = sha
+                break
         if not commit:
             return None
         blob = subprocess.run(

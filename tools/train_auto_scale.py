@@ -119,28 +119,51 @@ def main() -> None:
     if row.get("t1x"):
         for mult in mults[1:]:
             row[f"ratio{mult}"] = round(row[f"t{mult}x"] / row["t1x"], 2)
+        # Fit the exponent over the PRE-threshold mults only: pooling
+        # the post-crossing points would blend two cost regimes (full
+        # n^1.5 training vs linear sampled training) and understate
+        # the pre-threshold exponent the fit is supposed to report.
+        # Post-threshold points are the crossing evidence; they're
+        # reported separately under "crossing".
+        pre = [m for m in mults if args.vecs1 * m <= TRAIN_AUTO_MIN]
+        post = [m for m in mults if args.vecs1 * m > TRAIN_AUTO_MIN]
         pts = [
             (math.log(m), math.log(row[f"t{m}x"]))
-            for m in mults
+            for m in pre
             if row[f"t{m}x"] > 0
         ]
-        mx = sum(p[0] for p in pts) / len(pts)
-        my = sum(p[1] for p in pts) / len(pts)
-        den = sum((p[0] - mx) ** 2 for p in pts)
-        if den > 0:
-            row["exp"] = round(
-                sum((p[0] - mx) * (p[1] - my) for p in pts) / den, 2
+        if len(pts) >= 2:
+            mx = sum(p[0] for p in pts) / len(pts)
+            my = sum(p[1] for p in pts) / len(pts)
+            den = sum((p[0] - mx) ** 2 for p in pts)
+            if den > 0:
+                row["exp"] = round(
+                    sum((p[0] - mx) * (p[1] - my) for p in pts) / den, 2
+                )
+        if post:
+            row["crossing"] = {
+                f"t{m}x": row[f"t{m}x"] for m in post
+            }
+            row["crossing"]["note"] = (
+                "post-TRAIN_AUTO_MIN points (auto-sampled training "
+                "regime); excluded from exp, which fits the full-"
+                "training regime only"
             )
     row["run"] = {
         "mults": mults,
+        "exp_fit_mults": [m for m in mults if args.vecs1 * m <= TRAIN_AUTO_MIN],
         "vecs_1x": args.vecs1,
-        "train_auto_min": 65536,
+        "train_auto_min": TRAIN_AUTO_MIN,
         "tool": "train_auto_scale.py",
     }
     print(json.dumps({"ann_ivf_kmeans_default": row}))
     if args.out:
-        with open(args.out) as fh:
-            prev = json.load(fh)
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                prev = json.load(fh)
+            prev.setdefault("queries", {})
+        else:
+            prev = {"queries": {}}
         prev["queries"]["ann_ivf_kmeans_default"] = row
         with open(args.out, "w") as fh:
             json.dump(prev, fh, indent=1)
