@@ -1563,14 +1563,24 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — bit-identical across engines.  The uniform synthetic
     corpus is the HARD case for coarse quantization (see
     ``ann_recall``); clustered-fixture numbers live in tests/test_pq.py
-    and SCALE.md."""
+    and SCALE.md.
+
+    Truth amortization (r9 verdict missing #1): the brute-force exact
+    top-3 comes from the SHARED 32-probe truth table
+    (:func:`~experts_etl_spark.llm.similarity.ann_exact_truth`), paid
+    once per corpus across this audit and ``ann_recall`` instead of
+    recomputed here — the r9 fit row's 94.5s 27× point was mostly this
+    duplicated O(n·probes) term."""
     from experts_etl_spark.llm.pq import ivfpq_topk, pq_adc_topk
-    from experts_etl_spark.llm.similarity import kmeans_refined_centroids
+    from experts_etl_spark.llm.similarity import (
+        ann_exact_truth,
+        kmeans_refined_centroids,
+    )
 
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 32)
-    exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
-        "probe_id", "cand_id"
+    exact = ann_exact_truth(
+        e, "vec_id", "embedding", probe_max=32, k=3, cache_key=sf_dir
     )
     cents = kmeans_refined_centroids(
         e, "vec_id", "embedding", iters=2, train_mod="auto"
@@ -1740,8 +1750,17 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled widths keep occupancy where recall and cost balance.  On
     clustered vectors (the realistic case; tools/gen_scaledata.py
     --mode clustered) the same operators measure 0.92-1.00 — see
-    SCALE.md."""
+    SCALE.md.
+
+    Truth amortization (r9 verdict missing #1): the brute-force exact
+    top-3 comes from the SHARED 32-probe truth table
+    (:func:`~experts_etl_spark.llm.similarity.ann_exact_truth`,
+    filtered to this audit's 16 probes — per-probe independence makes
+    the subset exact), so the O(n·probes) baseline is paid once per
+    corpus across this audit and ``ann_recall_pq`` instead of once
+    per audit."""
     from experts_etl_spark.llm.similarity import (
+        ann_exact_truth,
         bucketed_ann_topk,
         ivf_topk,
         kmeans_refined_centroids,
@@ -1749,9 +1768,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 16)
-    exact = brute_force_topk(e, probes, "vec_id", "embedding", 3).select(
-        "probe_id", "cand_id"
-    )
+    exact = ann_exact_truth(
+        e, "vec_id", "embedding", probe_max=32, k=3, cache_key=sf_dir
+    ).filter(F.col("probe_id") < 16)
     cents = kmeans_refined_centroids(
         # "full" pins full-corpus Lloyd training to match the oracle;
         # the TRAIN_AUTO_MIN default would sample past 65,536 vectors.

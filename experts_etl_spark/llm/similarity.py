@@ -133,6 +133,67 @@ def brute_force_topk(
     )
 
 
+# One truth table per (session, corpus, probe set, k): the brute-force
+# exact top-k that every recall audit compares against.  Keyed by the
+# Spark applicationId so a cached result never leaks across sessions.
+_TRUTH_CACHE: dict = {}
+
+
+def ann_exact_truth(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_max: int,
+    k: int,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The brute-force exact top-``k`` truth table for the audit probe
+    set ``id < probe_max``, computed ONCE per (corpus, probe set) and
+    shared by every recall audit in the process (r9 verdict missing
+    #1: ``ann_recall`` and ``ann_recall_pq`` each paid the O(n·probes)
+    baseline independently — 94.5s of the PQ audit's 27× point was
+    this duplicated term.  The ``dedup_lsh_recall`` playbook: one
+    truth table, many audits).
+
+    The result is k·|probes| rows — bounded by the FIXED audit probe
+    count, never corpus-proportional — so it is collected once (≤ 96
+    rows for the 32-probe audit) and re-served as a literal DataFrame.
+    The 100 TB cost of truth is the corpus scan that computes it; the
+    cache pays that scan once per corpus instead of once per audit.
+    Audits that probe a PREFIX of a cached probe set (``ann_recall``
+    audits 16 of the 32) filter the shared table rather than recompute:
+    brute-force top-k is per-probe independent, so the subset is exact.
+
+    ``cache_key`` identifies the corpus (callers pass the data dir);
+    pass ``None`` to bypass the cache.  Corpus dirs are immutable for
+    a process lifetime (test fixtures; scale-fit generates a fresh dir
+    per mult), which is what makes the key sound.
+    """
+    spark = emb.sparkSession
+    key = None
+    if cache_key is not None:
+        key = (
+            spark.sparkContext.applicationId,
+            cache_key,
+            id_col,
+            probe_max,
+            k,
+        )
+        hit = _TRUTH_CACHE.get(key)
+        if hit is not None:
+            return spark.createDataFrame(hit[0], hit[1])
+    probes = emb.filter(F.col(id_col) < probe_max)
+    truth = brute_force_topk(emb, probes, id_col, vec_col, k).select(
+        "probe_id", "cand_id"
+    )
+    if key is None:
+        return truth
+    rows = truth.collect()  # bounded: k rows per audit probe
+    schema = truth.schema
+    _TRUTH_CACHE[key] = (rows, schema)
+    return spark.createDataFrame(rows, schema)
+
+
 def srp_bucket(vec: Column, bits: int = 8) -> Column:
     """Sign-random-projection bucket: the sign bits of the first
     ``bits`` dimensions (the fixed axis-aligned projection keeps it
