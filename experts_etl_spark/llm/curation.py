@@ -352,18 +352,38 @@ def substring_dedup(
     the same shape).  Callers that need every input id represented
     should left-join the result back onto the input ids.
     """
-    from pyspark.sql import Window
+    toks = _substr_toks(df, text_col, id_col)
+    wins = _substr_wins(toks, id_col, window_words)
+    hot = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_sf"))
+        .filter(F.col("_sf") > max_sf)
+        .select("win")
+    )
+    return _substr_clean(toks, wins, hot, id_col, window_words)
 
+
+def _substr_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, word) token explosion feeding windows, totals, and
+    removal — one localCheckpoint shared by all three consumers."""
     from experts_etl_spark.llm.text import words
 
-    toks = df.select(
+    return df.select(
         F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w")
-    ).localCheckpoint(eager=False)  # feeds windows, totals, and removal
+    ).localCheckpoint(eager=False)
+
+
+def _substr_wins(
+    toks: DataFrame, id_col: str, window_words: int
+) -> DataFrame:
+    """(id, pos, win) sliding windows at every word offset, KEYED BY
+    md5 of the window text (the shuffle-the-hash lesson, SCALE.md
+    §Round-9) — feeds both the frequency scan and the coverage mark."""
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [
         F.lead("w", j).over(win) for j in range(1, window_words)
     ]
-    wins = (
+    return (
         toks.select(
             F.col(id_col),
             F.col("pos"),
@@ -372,14 +392,21 @@ def substring_dedup(
         )
         .filter(F.col("_tail").isNotNull())
         .drop("_tail")
-        .localCheckpoint(eager=False)  # feeds the frequency scan + mark
+        .localCheckpoint(eager=False)
     )
-    hot = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("_sf"))
-        .filter(F.col("_sf") > max_sf)
-        .select("win")
-    )
+
+
+def _substr_clean(
+    toks: DataFrame,
+    wins: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    window_words: int,
+) -> DataFrame:
+    """Mark every word covered by a hot window, cut it, reassemble the
+    survivors in order — the shared tail of the full and incremental
+    ExactSubstr paths (coverage expansion, anti-join removal, one
+    doc-keyed reassembly aggregation)."""
     covered = (
         wins.join(hot, "win", "left_semi")
         .select(
@@ -412,6 +439,82 @@ def substring_dedup(
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def substring_window_store(
+    df: DataFrame, text_col: str, id_col: str, window_words: int = 5
+) -> DataFrame:
+    """The persisted hot-window STORE for incremental ExactSubstr
+    ingest: (win md5, sf count) over the already-indexed corpus — the
+    substring analogue of the MinHash band index
+    (``dedup.incremental_lsh_dedup``) and the streaming fingerprint
+    store (``streaming/curation.py``).  Built once over the archive,
+    then maintained by folding each ingested batch's counts in with
+    :func:`merge_window_store`; a daily ingest never re-scans the
+    archive text."""
+    toks = _substr_toks(df, text_col, id_col)
+    wins = _substr_wins(toks, id_col, window_words)
+    return wins.groupBy("win").agg(F.count(F.lit(1)).alias("sf"))
+
+
+def merge_window_store(
+    store: DataFrame, batch_counts: DataFrame
+) -> DataFrame:
+    """Fold a batch's window counts into the store: union + one
+    map-side-combined groupBy on the fixed-width md5 key."""
+    return (
+        store.unionByName(batch_counts)
+        .groupBy("win")
+        .agg(F.sum("sf").alias("sf"))
+    )
+
+
+def substring_dedup_incremental(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_words: int = 5,
+    max_sf: int = 2,
+) -> DataFrame:
+    """Incremental-ingest ExactSubstr (r9 verdict missing #2): clean
+    TODAY'S batch against the persisted window store instead of
+    re-running :func:`substring_dedup` over the whole archive.
+
+    Frequency semantics are EXACTLY the full rule's: a window is hot
+    when ``store_sf + batch_sf > max_sf`` — the store carries the
+    archive's counts, the batch adds its own, and the sum is the
+    corpus-wide count the full rule thresholds on.  Hence the pinned
+    equivalence (tests/test_curation.py): for every batch document the
+    output row equals what :func:`substring_dedup` over
+    archive ∪ batch returns for that id.  The deliberate asymmetry —
+    the same one every incremental dedup here makes — is that archive
+    documents are NOT retroactively re-cleaned when a batch pushes one
+    of their windows over the cap; the rule applies forward, and the
+    periodic full compaction (the batch operator) reconciles.
+
+    Scale shape: every stage is batch-proportional — batch windows via
+    one (id, pos) sort-window, batch counts via one map-side-combined
+    groupBy, and ONE hash join of batch counts against the store on
+    the fixed-width md5 key (the store side is large but the probe
+    side is the batch; no archive text touched, no self-join
+    anywhere).  Returns the :func:`substring_dedup` schema
+    (id, n_words, n_removed, clean_text) for the batch ids with ≥1
+    word; see the zero-word-doc note there.
+    """
+    toks = _substr_toks(batch, text_col, id_col)
+    wins = _substr_wins(toks, id_col, window_words)
+    batch_counts = wins.groupBy("win").agg(
+        F.count(F.lit(1)).alias("_bsf")
+    )
+    hot = (
+        batch_counts.join(store, "win", "left")
+        .filter(
+            F.col("_bsf") + F.coalesce(F.col("sf"), F.lit(0)) > max_sf
+        )
+        .select("win")
+    )
+    return _substr_clean(toks, wins, hot, id_col, window_words)
 
 
 # ---------------------------------------------------------------------------

@@ -123,7 +123,10 @@ GATE_ORDER = [
     "ann_topk_ivfpq_refined",    # NEW r9: IVFADC over trained cells
     "embedding_semantic_dedup_seq",  # NEW r9: exact sequential greedy
     "dedup_exact_substrings",    # NEW r9: unaligned ExactSubstr windows
-    "dedup_simhash",             # rotation: stale r7 row refreshed
+    "dedup_exact_substrings_incremental",  # NEW r10: hot-window store
+    #   ingest (gated on arrival; swap-out: dedup_simhash — rotated in
+    #   r9, fresh green r9 row, unchanged this round, miner keeps
+    #   local sf0.001 parity every pytest run)
     "dedup_winnow",              # rotation: stale r7 row refreshed
     "text_quality_metrics",      # rotation: stale r7 row refreshed
     # --- retained heavyweight composites (green r2-r4) -----------------

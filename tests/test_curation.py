@@ -399,3 +399,90 @@ def test_substring_dedup_short_docs_and_within_doc_repeats(spark):
     assert got[0]["n_removed"] == 0 and got[0]["clean_text"] == "tiny doc"
     assert got[1]["n_removed"] == 15 and got[1]["clean_text"] == "x y"
     assert got[2]["n_removed"] == 0
+
+
+def test_substring_incremental_equals_full_on_straddling_slice(spark):
+    """THE incremental-ingest contract (r9 verdict missing #2): clean
+    the batch against the archive's window store and you get, for
+    every batch document, byte-equal rows to the FULL corpus-wide rule
+    over archive ∪ batch — store counts + batch counts sum to exactly
+    the corpus-wide frequency the full rule thresholds on.  Uses the
+    sf0.01 corpus and the registered %10 batch split, so windows that
+    straddle the split (hot only via archive+batch together) are
+    exercised for real."""
+    from experts_etl_spark.llm.curation import (
+        substring_dedup,
+        substring_dedup_incremental,
+        substring_window_store,
+    )
+    from experts_etl_spark.sources import read_table
+
+    d = read_table(spark, SF_CORRECT, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    archive = d.filter(F.col("doc_id") % 10 != 7)
+    store = substring_window_store(archive, "text", "doc_id")
+    inc = sorted(
+        map(
+            tuple,
+            substring_dedup_incremental(
+                batch, store, "text", "doc_id"
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            substring_dedup(d, "text", "doc_id")
+            .filter(F.col("doc_id") % 10 == 7)
+            .collect(),
+        )
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_substring_incremental_store_fold_and_cross_batch_hot(spark):
+    """A window under the cap in the archive goes hot when the batch's
+    occurrences push the SUM over it — the cross-batch case a
+    batch-local rerun would miss — and merge_window_store folds batch
+    counts so the next batch sees updated frequencies."""
+    from experts_etl_spark.llm.curation import (
+        merge_window_store,
+        substring_dedup_incremental,
+        substring_window_store,
+    )
+
+    phrase = "alpha beta gamma delta epsilon"  # one 5-word window
+    archive = spark.createDataFrame(
+        [(0, phrase + " unique zero"), (1, phrase + " unique one")],
+        "doc_id long, text string",
+    )
+    store = substring_window_store(archive, "text", "doc_id")
+    # archive count = 2 = max_sf: not hot yet; batch occurrence -> 3
+    batch = spark.createDataFrame(
+        [(107, phrase + " fresh content"), (117, "totally new words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_incremental(
+            batch, store, "text", "doc_id"
+        ).collect()
+    }
+    assert got[107]["n_removed"] == 5
+    assert got[107]["clean_text"] == "fresh content"
+    assert got[117]["n_removed"] == 0
+    # fold the batch in: the phrase window's count is now 3
+    batch_counts = (
+        substring_window_store(batch, "text", "doc_id")
+    )
+    merged = merge_window_store(store, batch_counts)
+    row = {r["win"]: r["sf"] for r in merged.collect()}
+    assert 3 in row.values()  # the now-hot phrase window
+    # a SECOND batch with one more occurrence sees sum 3+1 > 2 -> cut
+    batch2 = spark.createDataFrame(
+        [(127, "preamble " + phrase)], "doc_id long, text string"
+    )
+    got2 = substring_dedup_incremental(
+        batch2, merged, "text", "doc_id"
+    ).collect()[0]
+    assert got2["n_removed"] == 5 and got2["clean_text"] == "preamble"
