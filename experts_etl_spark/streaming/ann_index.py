@@ -83,8 +83,8 @@ def run_streaming_ivfpq_search(
     vec_col: str = "embedding",
     k: int = 3,
     m: int = 4,
-    refine_mult: int = 4,
-    nprobe: int = 2,
+    refine_mult: int | None = None,
+    nprobe: int | None = None,
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Probe side of the streaming IVFADC deployment: drain
@@ -103,13 +103,26 @@ def run_streaming_ivfpq_search(
     ``batch_id`` with dynamic partition overwrite, so an at-least-once
     ``foreachBatch`` replay rewrites its own partition instead of
     appending duplicates — the same guarantee as
-    :func:`run_streaming_pq_encode`."""
-    from experts_etl_spark.llm.pq import ivfpq_search
+    :func:`run_streaming_pq_encode`.
+
+    Read knobs default to the batch twin's self-scaling rules
+    (``auto_nprobe`` / ``auto_refine_mult``), resolved ONCE against
+    the standing index here — not per tick — since the index is fixed
+    between rebuilds."""
+    from experts_etl_spark.llm.pq import (
+        auto_nprobe,
+        auto_refine_mult,
+        ivfpq_search,
+    )
 
     cells = spark.read.parquet(cells_path)
     books = spark.read.parquet(books_path)
     index = spark.read.parquet(index_path)
     emb = spark.read.parquet(emb_path)
+    if nprobe is None:
+        nprobe = auto_nprobe(cells.count())
+    if refine_mult is None:
+        refine_mult = auto_refine_mult(emb.count(), k)
     schema = spark.read.parquet(probes_src).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -356,3 +356,60 @@ def test_pq_read_knobs_monotone_on_clustered(spark, clustered_dir):
     )
     bad = {p: (few[p], many[p]) for p in few if many[p] < few[p] - eps}
     assert not bad, bad
+
+
+def test_auto_read_knob_rules_and_sql_twins(spark):
+    """The self-scaling read knobs (r9 verdict missing #3) are
+    integer-exact and SQL-reproducible like every other auto_* rule:
+    auto_nprobe = clamp(bit_length(nlist), 2, 32) and
+    auto_refine_mult = clamp(isqrt(n)//k, 4, 64), checked value-equal
+    against their DuckDB twins over a count grid straddling every
+    clamp boundary."""
+    import duckdb
+
+    from experts_etl_spark.llm.pq import auto_nprobe, auto_refine_mult
+
+    con = duckdb.connect()
+    for n in [1, 2, 3, 7, 8, 23, 70, 232, 500, 5000, 54000, 10**7, 10**12]:
+        sql_np = con.execute(
+            f"SELECT least(greatest(length(bin(CAST({n} AS BIGINT))), 2), 32)"
+        ).fetchone()[0]
+        assert auto_nprobe(n) == sql_np, (n, auto_nprobe(n), sql_np)
+        for k in [1, 3, 10]:
+            sql_rm = con.execute(
+                f"SELECT least(greatest(CAST(floor(sqrt({n})) AS BIGINT) "
+                f"// {k}, 4), 64)"
+            ).fetchone()[0]
+            assert auto_refine_mult(n, k) == sql_rm, (n, k)
+    con.close()
+    # the documented fixture values (SCALE.md knob table)
+    assert auto_refine_mult(500, 3) == 7     # sf0.01
+    assert auto_refine_mult(5000, 3) == 23   # sf0.1 — past the r9 knee (16)
+    assert auto_nprobe(23) == 5              # sf0.01 nlist
+    assert auto_nprobe(70) == 7              # sf0.1 nlist — near the knee (8)
+
+
+def test_auto_knob_defaults_flow_through_search(spark):
+    """ivfpq_topk with knobs omitted equals ivfpq_topk with the auto
+    rules passed explicitly — the defaults ARE the rules, not a
+    separate code path."""
+    from experts_etl_spark.llm.pq import (
+        auto_nprobe,
+        auto_refine_mult,
+        ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+    )
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8)
+    auto = ivfpq_topk(e, probes, "vec_id", "embedding", k=3, m=4)
+    cells, _, _ = ivfpq_index(e, "vec_id", "embedding", m=4)
+    explicit = ivfpq_topk(
+        e, probes, "vec_id", "embedding", k=3, m=4,
+        refine_mult=auto_refine_mult(e.count(), 3),
+        nprobe=auto_nprobe(cells.count()),
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
