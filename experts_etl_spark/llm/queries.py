@@ -732,6 +732,88 @@ def embedding_semantic_dedup_seq(
     return semantic_dedup_sequential(e, "vec_id", "embedding", 0.35)
 
 
+@query(
+    "embedding_semantic_dedup_incremental",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ), n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM base),
+    el AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM n a JOIN n b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    ),
+    st(it, v, s) AS (
+      SELECT 0, vec_id, 'u' FROM embeddings
+      UNION ALL
+      SELECT s.it + 1, s.v,
+        CASE WHEN coalesce(a.keptn, 0) > 0 THEN 'd'
+             WHEN coalesce(a.undecn, 0) = 0 THEN 'k'
+             ELSE 'u' END
+      FROM st s
+      LEFT JOIN (
+        SELECT el.hi AS v,
+               sum(CASE WHEN s2.s = 'k' THEN 1 ELSE 0 END) AS keptn,
+               sum(CASE WHEN s2.s = 'u' THEN 1 ELSE 0 END) AS undecn
+        FROM el JOIN st s2 ON s2.v = el.lo
+        GROUP BY el.hi
+      ) a ON a.v = s.v
+      WHERE EXISTS (SELECT 1 FROM st WHERE st.s = 'u')
+    )
+    SELECT v AS vec_id, s = 'k' AS kept
+    FROM st WHERE it = (SELECT max(it) FROM st)
+      AND v >= (SELECT 4 * count(*) // 5 FROM embeddings)
+    """,
+)
+def embedding_semantic_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental sequential SemDeDup against the kept-embedding
+    store (llm/similarity.py:semantic_dedup_incremental — r9 verdict
+    next-round #7): the last fifth of the id range arrives as TODAY'S
+    batch and is deduplicated against the store built from the first
+    four fifths (the archive's sequential-greedy keepers), never
+    against the archive's raw history.  Because the split is
+    id-ordered, the composition store = kept(archive) →
+    incremental(batch) IS the full sequential scan: the oracle states
+    that contract directly by running the whole-corpus recursive-CTE
+    fixpoint (``embedding_semantic_dedup_seq``'s oracle) and
+    restricting to batch ids.  The SRP width is the store's pinned
+    index parameter — auto_srp_bits of the FULL corpus count, exactly
+    what the oracle's _SRP macro derives — because re-deriving width
+    per batch would re-block history differently every tick.  The
+    streaming twin (``streaming/semantic.py``) runs the same operator
+    per micro-batch with replay-idempotent partitioned sinks
+    (tests/test_streaming_semantic.py)."""
+    from experts_etl_spark.llm.similarity import (
+        auto_srp_bits,
+        semantic_dedup_incremental,
+        semantic_dedup_sequential,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cut = 4 * n // 5
+    bits = auto_srp_bits(n)
+    archive = e.filter(F.col("vec_id") < cut)
+    batch = e.filter(F.col("vec_id") >= cut)
+    kept_arch = semantic_dedup_sequential(
+        archive, "vec_id", "embedding", 0.35, bits=bits
+    )
+    store = archive.join(
+        kept_arch.filter(F.col("kept")).select("vec_id"), "vec_id"
+    )
+    return semantic_dedup_incremental(
+        batch, store, "vec_id", "embedding", 0.35, bits
+    )
+
+
 def _kmeans_iter_sql(cprev: str, k: int, src: str = "n") -> str:
     return f"""
     a{k} AS (SELECT vec_id, q, n2, cent_id FROM (

@@ -417,6 +417,111 @@ def semantic_dedup_sequential(
     return kept.select(F.col("_vid").alias(id_col), "kept")
 
 
+def bucketed_cross_hits(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batch ids with ≥1 store vector within cosine ``threshold``
+    among the SRP-blocked candidates — the ASYMMETRIC arm of
+    :func:`bucketed_near_dup` (batch side explodes the Hamming-1
+    probe neighborhood, the store side keeps its unique bucket, so
+    the blocked pair relation is the self-join's restricted to
+    batch×store; the Hamming-1 relation is symmetric, so orientation
+    does not change the matched set).  ``bits`` is REQUIRED: it is the
+    store's pinned index width, not a per-batch derivation — two
+    sides blocked at different widths see different candidate sets.
+    Per-batch cost is the batch's bucket fan-out joined against the
+    store's bucket index, never a store self-join."""
+    bq = with_quantized(batch, vec_col).select(
+        F.col(id_col), F.col("_q"), F.col("_n2"),
+        F.explode(
+            probe_neighborhood(
+                srp_bucket(F.col(vec_col), bits), bits, probe_hamming
+            )
+        ).alias("bucket"),
+    )
+    sq = with_quantized(store, vec_col).select(
+        F.col(id_col).alias("_sid"),
+        F.col("_q").alias("_sq"),
+        F.col("_n2").alias("_sn2"),
+        srp_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    return (
+        bq.join(sq, "bucket")
+        .filter(
+            cosine(dot(F.col("_q"), F.col("_sq")), F.col("_n2"), F.col("_sn2"))
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int,
+    probe_hamming: int = 1,
+    max_iter: int = 64,
+) -> DataFrame:
+    """EXACT sequential SemDeDup for an INGESTED BATCH scanning after
+    a persisted kept-embedding store (r9 verdict next-round #7) — the
+    embedding analogue of the near-dup signature store: the scan
+    order is (all store vectors) then (batch ids ascending), so a
+    batch vector drops iff a KEPT earlier vector sits within ε — a
+    store vector (all kept by construction) or a kept lower-id batch
+    vector.
+
+    Exactness: a batch vector with a store ε-neighbor is dropped
+    outright AND can never drop another batch vector (dropped vectors
+    are not representatives under the sequential rule), so removing
+    the store-hit vertices and their edges from the in-batch ε-graph
+    before the :func:`_sequential_keep` fixpoint reproduces the full
+    sequential scan exactly.  With an id-ordered split (archive ids
+    all below batch ids) the composition store = kept(archive) →
+    incremental(batch) equals :func:`semantic_dedup_sequential` over
+    archive ∪ batch restricted to batch ids — pinned by the gated
+    ``embedding_semantic_dedup_incremental`` oracle and
+    tests/test_streaming_semantic.py.
+
+    ``bits`` is the store's PINNED index width (choose it for the
+    target corpus size at store creation; a per-batch auto width
+    would re-block history differently every tick).  Returns
+    (id, kept) for the batch.  Scale shape: one asymmetric
+    bucket join against the store (batch-proportional probe side),
+    one in-batch blocked self-join, decision-depth fixpoint rounds —
+    no archive self-join, no archive rescan."""
+    if store is not None:
+        hits = bucketed_cross_hits(
+            batch, store, id_col, vec_col, threshold, bits, probe_hamming
+        ).localCheckpoint(eager=False)
+        clean = batch.join(hits, id_col, "left_anti")
+    else:
+        hits = None
+        clean = batch
+    pairs = bucketed_near_dup(
+        clean, id_col, vec_col, threshold, bits, probe_hamming
+    )
+    kept = _sequential_keep(
+        clean.select(F.col(id_col).alias("_vid")),
+        pairs.select(F.col("id1").alias("lo"), F.col("id2").alias("hi")),
+        max_iter,
+    ).select(F.col("_vid").alias(id_col), "kept")
+    if hits is None:
+        return kept
+    return kept.unionByName(
+        hits.select(F.col(id_col), F.lit(False).alias("kept"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     probes: DataFrame,

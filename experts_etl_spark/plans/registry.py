@@ -127,7 +127,9 @@ GATE_ORDER = [
     #   ingest (gated on arrival; swap-out: dedup_simhash — rotated in
     #   r9, fresh green r9 row, unchanged this round, miner keeps
     #   local sf0.001 parity every pytest run)
-    "dedup_winnow",              # rotation: stale r7 row refreshed
+    "embedding_semantic_dedup_incremental",  # NEW r10: kept-embedding
+    #   store ingest (gated on arrival; swap-out: dedup_winnow —
+    #   rotated in r9, fresh green r9 row, unchanged this round)
     "text_quality_metrics",      # rotation: stale r7 row refreshed
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3

@@ -14,7 +14,7 @@ import itertools
 from experts_etl_spark.plans import registry
 
 # Maintained NEXT TO the registry: bump when registering a query.
-EXPECTED_TOTAL = 127
+EXPECTED_TOTAL = 128
 GATE_WINDOW = 50
 
 

@@ -1,0 +1,147 @@
+"""Streaming semantic dedup (streaming/semantic.py) — the
+kept-embedding store (r9 verdict next-round #7).
+
+Pins the three contract properties: (1) two micro-batches through the
+runner equal the FULL sequential greedy over the concatenation (the
+store composition is exact, not approximate); (2) a cross-batch
+semantic near-copy — a batch-2 vector inside ε of a KEPT batch-1
+vector — is rejected; (3) a checkpointed replay is a no-op and the
+store never self-rejects a replayed batch against its own first
+attempt."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import functions as F
+
+from experts_etl_spark.llm.similarity import (
+    auto_srp_bits,
+    semantic_dedup_incremental,
+    semantic_dedup_sequential,
+)
+from experts_etl_spark.sources import read_table
+from experts_etl_spark.streaming.semantic import run_streaming_semantic_dedup
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.35
+
+
+def _land(tmp_path, src_dir, df, name):
+    stage = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    (part,) = glob.glob(str(stage / "*.parquet"))
+    shutil.copy(part, src_dir / f"{name}.parquet")
+
+
+def test_streaming_semantic_dedup_matches_full_sequential(spark, tmp_path):
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    cut = 4 * n // 5
+    bits = auto_srp_bits(n)  # the store's pinned index width
+    batch1 = e.filter(F.col("vec_id") < cut)
+    batch2 = e.filter(F.col("vec_id") >= cut)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _land(tmp_path, src_dir, batch1, "b1")
+
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    args = (spark, str(src_dir), out_dir, ckpt, THRESHOLD, bits)
+    run_streaming_semantic_dedup(*args)
+
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == batch1.count()
+
+    # replay with the same checkpoint: no new files, decisions stable
+    # (and the store-probe replay guard means nothing self-rejects)
+    run_streaming_semantic_dedup(*args)
+    replayed = spark.read.parquet(out_dir)
+    assert sorted(
+        map(tuple, replayed.select("vec_id", "kept").collect())
+    ) == sorted(map(tuple, got1.select("vec_id", "kept").collect()))
+
+    # second batch arrives: decisions over BOTH batches == the full
+    # sequential greedy over the whole corpus at the same pinned width
+    _land(tmp_path, src_dir, batch2, "b2")
+    run_streaming_semantic_dedup(*args)
+    got = spark.read.parquet(out_dir).select("vec_id", "kept")
+    want = semantic_dedup_sequential(
+        e, "vec_id", "embedding", THRESHOLD, bits=bits
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the store holds exactly the keepers' embeddings
+    store = spark.read.parquet(str(tmp_path / "decisions" / "_kept_embeddings"))
+    kept_ids = {r["vec_id"] for r in want.filter("kept").collect()}
+    assert {r["vec_id"] for r in store.collect()} == kept_ids
+
+
+def test_cross_batch_semantic_near_copy_rejected(spark, tmp_path):
+    """A batch-2 vector that is a semantic near-copy of a KEPT batch-1
+    vector is rejected by the store probe alone (no in-batch edge),
+    while a genuinely novel batch-2 vector is kept."""
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.999] + [0.01] * (dim - 1)        # cosine ≈ 1 with base
+    novel = [0.0] * (dim - 1) + [1.0]          # orthogonal to base
+    b1 = spark.createDataFrame(
+        [(0, base)], "vec_id long, embedding array<float>"
+    )
+    b2 = spark.createDataFrame(
+        [(10, near), (11, novel)], "vec_id long, embedding array<float>"
+    )
+    store = b1  # batch-1's keeper (a single vector is trivially kept)
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_incremental(
+            b2, store, "vec_id", "embedding", 0.9, bits=4
+        ).collect()
+    }
+    assert got == {10: False, 11: True}
+    # and without the store both batch-2 vectors survive (they are
+    # far apart) — the rejection above is genuinely cross-batch
+    alone = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_incremental(
+            b2, None, "vec_id", "embedding", 0.9, bits=4
+        ).collect()
+    }
+    assert alone == {10: True, 11: True}
+
+
+def test_incremental_chain_drop_semantics(spark):
+    """The ε-chain case that separates the sequential rule from the
+    one-pass rule, across the batch boundary: store keeper a, batch
+    b ≈ a (dropped via store) and c ≈ b but NOT ≈ a — since b is
+    dropped it cannot drop c, so c is KEPT (the paper's coverage
+    guarantee; one-pass would drop both)."""
+    import math
+
+    dim = 8
+
+    def unit(theta):
+        # chain a —25°— b —25°— c in a 2-D subspace: adjacent pairs
+        # above cos 0.85, the ends below it
+        return [math.cos(theta), math.sin(theta)] + [0.0] * (dim - 2)
+
+    a = unit(0.0)
+    b = unit(math.radians(25))
+    c = unit(math.radians(50))
+    store = spark.createDataFrame(
+        [(0, a)], "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(10, b), (11, c)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_incremental(
+            batch, store, "vec_id", "embedding", 0.85, bits=2
+        ).collect()
+    }
+    assert got == {10: False, 11: True}
