@@ -130,14 +130,31 @@ GATE_ORDER = [
     "embedding_semantic_dedup_incremental",  # NEW r10: kept-embedding
     #   store ingest (gated on arrival; swap-out: dedup_winnow —
     #   rotated in r9, fresh green r9 row, unchanged this round)
-    "text_quality_metrics",      # rotation: stale r7 row refreshed
+    # --- round-10 rotation: the five STALEST rows (r2-vintage driver
+    # rows, r9 verdict item 6) rotate back in.  OUT — every retiree
+    # keeps its fresh green r9 row against an UNCHANGED query+oracle,
+    # so the r2-r10 union invariant holds: text_quality_metrics (the
+    # quality expression stays gated via training_corpus_pipeline's
+    # quality gate and curation_stream_routing), employee_jobs_transform
+    # (the W2/W3/W4/W6 window chain keeps its 18-fixture golden parity
+    # locally; stint/run-length shapes also exercised inside the gated
+    # person_assembly_cycle + cdc_compaction windows),
+    # set_reconciliation (X3/J8 explode-join also runs inside the
+    # gated pub_cycle's child-set overwrite), error_counters (A7/F9
+    # upsert arithmetic unchanged since r2, fresh r9 row),
+    # multi_format_dates (F1/F2/P6 parse matrix pinned by
+    # tests/test_timestamp_matrix.py every pytest run).
+    "locale_pick",               # rotation: stalest r2 row (P8)
+    "scalar_pack",               # rotation: r2 row (F7 F8 F10)
+    "json_parse_roundtrip",      # rotation: r2 row (S6 F13)
+    "required_fields_gate",      # rotation: r2 row (P4 P5)
+    "type_whitelist",            # rotation: r2 row (P3 P7)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5
     "existence_gates",          # J6 J9 C6 (merged)
     "person_cycle_xml",         # F14 S7 + §3.2+§3.4 composite
     "tree_nested_set",          # G1 G2 G3 J10 (composes tree_closure)
-    "employee_jobs_transform",  # §3.4: W2 W3 W4 W6
     "person_assembly_cycle",    # §3.2 assembly
     "person_360",               # §3.2 end-to-end + A10
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
@@ -168,9 +185,6 @@ GATE_ORDER = [
     "cdc_compaction",           # C3 C4 W7
     "override_coalesce",        # J2 J3
     "primary_event_election",   # A9 W8
-    "multi_format_dates",       # F1 F2 P6
-    "set_reconciliation",       # X3 A5
-    "error_counters",           # A7 F9
 ]
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 _missing = [n for n in GATE_ORDER if n not in _ALL_QUERIES]
