@@ -91,6 +91,9 @@ HEADLINE = [
     # round-9 addition: the FAISS production composition (trained
     # coarse quantizer + residual PQ) — the ANN headline path
     "ann_topk_ivfpq_refined",
+    # round-10 additions: the incremental-ingest production paths
+    "dedup_exact_substrings_incremental",   # hot-window store probe
+    "embedding_semantic_dedup_incremental",  # kept-embedding store
 ]
 
 

@@ -1753,9 +1753,13 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.vec_id < 16
       ) WHERE rank <= 3
     ),
+    tr AS (
+      SELECT * FROM n
+      WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
+    ),
     c0 AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id % {_CENT_MOD} = 0),
-    {_kmeans_iter_sql('c0', 1)},
-    {_kmeans_iter_sql('c1', 2)},
+    {_kmeans_iter_sql('c0', 1, src='tr')},
+    {_kmeans_iter_sql('c1', 2, src='tr')},
     cents AS (SELECT cent_id, cq AS centq, cn2 AS centn2 FROM c2),
     cand_assign AS (
       SELECT vec_id AS cand_id, q AS cq, n2 AS cn2v, cent_id FROM (
@@ -1872,9 +1876,15 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", probe_max=32, k=3, cache_key=sf_dir
     ).filter(F.col("probe_id") < 16)
     cents = kmeans_refined_centroids(
-        # "full" pins full-corpus Lloyd training to match the oracle;
-        # the TRAIN_AUTO_MIN default would sample past 65,536 vectors.
-        e, "vec_id", "embedding", iters=2, train_mod="full"
+        # r10: the audit's trained-IVF arms run the PRODUCTION
+        # √n-sample training (train_mod="auto", mirrored by the
+        # oracle's `tr` CTE) — r9's full-corpus pin made this audit
+        # inherit the n^1.5 training term (measured 213s / exp 1.14
+        # at 27×) that the deployment never pays; full-Lloyd
+        # exactness stays gated via ann_ivf_kmeans's own row, and
+        # the full-vs-sampled crossing is measured in
+        # ann_ivf_kmeans_default (SCALE.md).
+        e, "vec_id", "embedding", iters=2, train_mod="auto"
     )
     methods = {
         "srp_bucketed": bucketed_ann_topk(

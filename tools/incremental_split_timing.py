@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Store-build vs probe timing split for the two r10 incremental
+ingest operators — the measurement behind their batch-proportionality
+claims (r9 verdict missing #2 / next-round #7):
+
+* ``substring_dedup_incremental`` (llm/curation.py): a FIXED 1×
+  document batch probed against the hot-window store of an archive
+  grown 1/3/9/27× — daily cost must track the batch, so the probe
+  row should be near-FLAT while the store build grows linearly;
+* ``semantic_dedup_incremental`` (llm/similarity.py): a FIXED 1×
+  embedding batch against the kept-embedding store of a grown
+  archive, same expectation (the probe is one asymmetric bucket join
+  + the in-batch fixpoint; only the store side of the join grows).
+
+The split mirrors tools/ann_split_timing.py: build is timed to an
+eager localCheckpoint (that IS the amortized cost a deployment pays
+per store rebuild/fold), probe is timed over the already-materialized
+store.  Batch ids are offset above every archive id so the semantic
+scan order (archive then batch) is the id order, matching the gated
+oracle's contract.  The SRP width is pinned at the LARGEST mult's
+auto width — the deployment choice: an index parameter sized for the
+target corpus, identical across ticks.
+
+Emits scale_fit-shaped rows ``substr_incr_store_build`` /
+``substr_incr_probe_fixed_batch`` / ``semdedup_incr_store_build`` /
+``semdedup_incr_probe_fixed_batch`` and merges into SCALE_FIT.json.
+
+Usage: python tools/incremental_split_timing.py [--out SCALE_FIT.json]
+       [--mults 1,3,9,27] [--docs1 5000] [--vecs1 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_OFFSET = 1 << 40  # batch ids sit above any archive id
+
+
+def _fit(row: dict, mults: list[int]) -> None:
+    if row.get("t1x", 0) > 0:
+        for m in mults[1:]:
+            row[f"ratio{m}"] = round(row[f"t{m}x"] / row["t1x"], 2)
+        pts = [
+            (math.log(m), math.log(row[f"t{m}x"]))
+            for m in mults
+            if row[f"t{m}x"] > 0
+        ]
+        if len(pts) >= 2:
+            mx = sum(p[0] for p in pts) / len(pts)
+            my = sum(p[1] for p in pts) / len(pts)
+            den = sum((p[0] - mx) ** 2 for p in pts)
+            if den > 0:
+                row["exp"] = round(
+                    sum((p[0] - mx) * (p[1] - my) for p in pts) / den, 2
+                )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--docs1", type=int, default=5000)
+    ap.add_argument("--vecs1", type=int, default=2000)
+    ap.add_argument("--mults", default="1,3,9,27")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    assert mults[0] == 1, "the first multiplier must be the 1x base"
+
+    from pyspark.sql import functions as F
+
+    from experts_etl_spark.llm.curation import (
+        substring_dedup_incremental,
+        substring_window_store,
+    )
+    from experts_etl_spark.llm.similarity import (
+        auto_srp_bits,
+        semantic_dedup_incremental,
+        semantic_dedup_sequential,
+    )
+    from experts_etl_spark.session import get_spark
+    from tools.gen_scaledata import generate
+
+    spark = get_spark("incremental_split_timing")
+    root = tempfile.mkdtemp(prefix="incr_split_")
+
+    # the FIXED batch: a fresh 1×-sized slice with ids above every
+    # archive id at any mult (distinct seed → distinct content)
+    bdir = f"{root}/batch"
+    generate(bdir, docs=args.docs1, vecs=args.vecs1, seed=99, mode="uniform")
+    doc_batch = (
+        spark.read.parquet(f"{bdir}/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id") + ID_OFFSET)
+        .localCheckpoint()
+    )
+    emb_batch = (
+        spark.read.parquet(f"{bdir}/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + ID_OFFSET)
+        .localCheckpoint()
+    )
+    # deployment-pinned SRP width: sized for the largest corpus
+    bits = auto_srp_bits(args.vecs1 * mults[-1])
+
+    rows: dict[str, dict] = {
+        "substr_incr_store_build": {},
+        "substr_incr_probe_fixed_batch": {},
+        "semdedup_incr_store_build": {},
+        "semdedup_incr_probe_fixed_batch": {},
+    }
+    for mult in mults:
+        d = f"{root}/x{mult}"
+        generate(
+            d, docs=args.docs1 * mult, vecs=args.vecs1 * mult,
+            seed=42, mode="uniform",
+        )
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+
+        # --- substring family -----------------------------------------
+        def substr_build():
+            return substring_window_store(
+                docs, "text", "doc_id"
+            ).localCheckpoint()
+
+        substr_build()  # warm
+        bt, store = [], None
+        for _ in range(3):
+            t0 = time.time()
+            store = substr_build()
+            bt.append(time.time() - t0)
+        rows["substr_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+
+        def substr_probe():
+            substring_dedup_incremental(
+                doc_batch, store, "text", "doc_id"
+            ).count()
+
+        substr_probe()  # warm
+        pt = []
+        for _ in range(3):
+            t0 = time.time()
+            substr_probe()
+            pt.append(time.time() - t0)
+        rows["substr_incr_probe_fixed_batch"][f"t{mult}x"] = round(min(pt), 3)
+
+        # --- semantic family ------------------------------------------
+        def sem_build():
+            kept = semantic_dedup_sequential(
+                emb, "vec_id", "embedding", 0.35, bits=bits
+            )
+            return (
+                emb.join(kept.filter(F.col("kept")).select("vec_id"), "vec_id")
+                .localCheckpoint()
+            )
+
+        sem_build()  # warm
+        bt, sem_store = [], None
+        for _ in range(3):
+            t0 = time.time()
+            sem_store = sem_build()
+            bt.append(time.time() - t0)
+        rows["semdedup_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+
+        def sem_probe():
+            semantic_dedup_incremental(
+                emb_batch, sem_store, "vec_id", "embedding", 0.35, bits
+            ).count()
+
+        sem_probe()  # warm
+        pt = []
+        for _ in range(3):
+            t0 = time.time()
+            sem_probe()
+            pt.append(time.time() - t0)
+        rows["semdedup_incr_probe_fixed_batch"][f"t{mult}x"] = round(
+            min(pt), 3
+        )
+
+        print(
+            f"x{mult}: substr build={rows['substr_incr_store_build'][f't{mult}x']:.2f}s "
+            f"probe={rows['substr_incr_probe_fixed_batch'][f't{mult}x']:.2f}s | "
+            f"sem build={rows['semdedup_incr_store_build'][f't{mult}x']:.2f}s "
+            f"probe={rows['semdedup_incr_probe_fixed_batch'][f't{mult}x']:.2f}s"
+        )
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    run_meta = {
+        "mults": mults,
+        "docs_1x": args.docs1,
+        "vecs_1x": args.vecs1,
+        "fixed_batch": True,
+        "srp_bits_pinned": bits,
+        "tool": "incremental_split_timing.py",
+    }
+    for row in rows.values():
+        _fit(row, mults)
+        row["run"] = dict(run_meta)
+    print(json.dumps(rows, indent=2))
+    if args.out:
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                prev = json.load(fh)
+        else:
+            prev = {"queries": {}}
+        prev.setdefault("queries", {}).update(rows)
+        with open(args.out, "w") as fh:
+            json.dump(prev, fh, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
