@@ -88,8 +88,9 @@ def auto_nprobe(nlist: int, lo: int = 2, hi: int = 32) -> int:
     nprobe·n/nlist ∝ n — the brute-force regression.  bit_length
     splits the difference: per-probe candidate volume stays
     Õ(√n·log n) and the knob lands where the r9 sweep measured the
-    knee (sf0.1 uniform: nprobe 2→8 doubled id-recall 0.125→0.250;
-    the rule gives 7 there.  Clustered fixtures are nprobe-insensitive
+    knee (sf0.1 uniform, 2,000 vectors → 46 cells: nprobe 2→8 doubled
+    id-recall 0.125→0.250; the rule gives 6 there, measured
+    0.219/0.838 — PQ_KNOB_SWEEP.json.  Clustered fixtures are nprobe-insensitive
     past 2 — effective recall 0.998+ everywhere — so the log growth
     buys the uniform worst case without taxing the realistic one).
     Integer-exact SQL twin over the cells CTE:
@@ -109,8 +110,10 @@ def auto_refine_mult(n_rows: int, k: int, lo: int = 4, hi: int = 64) -> int:
     0.427 → 0.292 at refine_mult=4) while √n keeps the re-rank the
     same ORDER of work as the scan that feeds it — a balanced
     pipeline whose cost is still probe-side only.  The rule lands on
-    the r9 sweep's knee: at sf0.1 uniform, refine_mult 4→16 lifted
-    flat-ADC recall 0.292→0.552; the rule gives 23 there.
+    the r9 sweep's knee: at sf0.1 uniform (2,000 vectors),
+    refine_mult 4→16 lifted flat-ADC recall 0.292→0.552; the rule
+    gives 14 there, measured 0.531/0.947 — within 4% of the 16-point
+    at 7/8 of its shortlist (PQ_KNOB_SWEEP.json).
     Integer-exact SQL twin over the corpus:
     ``least(greatest(CAST(floor(sqrt(count(*))) AS BIGINT) // k, 4),
     64)``."""

@@ -383,10 +383,12 @@ def test_auto_read_knob_rules_and_sql_twins(spark):
             assert auto_refine_mult(n, k) == sql_rm, (n, k)
     con.close()
     # the documented fixture values (SCALE.md knob table)
-    assert auto_refine_mult(500, 3) == 7     # sf0.01
-    assert auto_refine_mult(5000, 3) == 23   # sf0.1 — past the r9 knee (16)
+    assert auto_refine_mult(500, 3) == 7     # sf0.01 (500 vecs)
+    assert auto_refine_mult(2000, 3) == 14   # sf0.1 (2,000 vecs) — at the r9 knee (4->16)
+    assert auto_refine_mult(54000, 3) == 64  # 27x fit corpus (clamped)
     assert auto_nprobe(23) == 5              # sf0.01 nlist
-    assert auto_nprobe(70) == 7              # sf0.1 nlist — near the knee (8)
+    assert auto_nprobe(46) == 6              # sf0.1 nlist — near the knee (8)
+    assert auto_nprobe(232) == 8             # 27x fit corpus nlist
 
 
 def test_auto_knob_defaults_flow_through_search(spark):
