@@ -507,10 +507,21 @@ def substring_dedup_incremental(
     batch_counts = wins.groupBy("win").agg(
         F.count(F.lit(1)).alias("_bsf")
     )
+    # The store may hold SEVERAL rows per win — the streaming runner
+    # appends one partition of counts per ingested batch and compacts
+    # only periodically (merge_window_store) — so sum the matched
+    # rows AFTER the probe join: the aggregation is over batch wins ×
+    # matched partitions, batch-proportional, instead of a per-tick
+    # store-wide pre-aggregation shuffle.
     hot = (
         batch_counts.join(store, "win", "left")
+        .groupBy("win")
+        .agg(
+            F.first("_bsf").alias("_bsf"),
+            F.sum("sf").alias("_ssf"),
+        )
         .filter(
-            F.col("_bsf") + F.coalesce(F.col("sf"), F.lit(0)) > max_sf
+            F.col("_bsf") + F.coalesce(F.col("_ssf"), F.lit(0)) > max_sf
         )
         .select("win")
     )
