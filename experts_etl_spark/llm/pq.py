@@ -23,9 +23,10 @@ everywhere.  The only IEEE ops are the final cosine divisions, defined
 identically in both engines.
 
 Scale design:
-- codebooks are FIXED-SIZE (m·k rows, k = :data:`PQ_K` — a bit-budget
-  knob that does not grow with the corpus), so training and encoding
-  cost a constant m·k subspace dots per vector: exactly linear.
+- codebooks are BOUNDED-SIZE (m·k rows; k = :func:`auto_pq_k`, capped
+  at the FAISS 8-bit 256 — a bit-budget knob that does not grow
+  unbounded with the corpus), so training and encoding cost a bounded
+  m·k subspace dots per vector: exactly linear past the cap.
 - training/encoding never shuffles the corpus: codebooks broadcast to
   the corpus map-side; the only shuffles are the per-(subspace, code)
   mean aggregations over m·n skinny rows.
@@ -59,21 +60,67 @@ from experts_etl_spark.llm.similarity import (
     with_quantized,
 )
 
-# Fixed per-subspace codebook size (FAISS uses 256; 64 keeps the gate
-# corpora meaningful).  PQ codebooks do NOT grow with the corpus — k is
-# a BIT-BUDGET knob, not a partitioning knob: with k ≈ √n (the IVF
-# nlist rule, wrongly borrowed here at first) training and encoding
-# score n·m·√n codeword pairs — measured exp 1.25 / 60× cost at 27×
-# data (SCALE.md round-8) — while a fixed k makes both exactly linear
-# with a constant m·k dots per vector.
+# Legacy fixed per-subspace codebook size (FAISS uses 256; 64 keeps the
+# gate corpora meaningful).  Kept for pinned external contracts; the
+# production default is now :func:`auto_pq_k` (r10 verdict next #6).
 PQ_K = 64
 
 
-def auto_code_mod(n_rows: int, k: int = PQ_K) -> int:
-    """Seed stride for a ~``k``-codeword-per-subspace codebook:
-    ``max(2, n // k)``.  Integer-exact SQL twin:
-    ``greatest(2, count(*) // k)``."""
+def auto_pq_k(n_rows: int, per_code: int = 16, lo: int = 16, hi: int = 256) -> int:
+    """Self-scaling per-subspace codebook size (the PQ WRITE twin of
+    :func:`auto_nprobe`): the largest power of two keeping ≥
+    ``per_code`` training vectors per codeword, clamped to
+    [16, 256] — 256 is the FAISS standard (8-bit codes), the hard cap
+    that keeps train/encode cost a CONSTANT m·k dots per vector (k is a
+    bit-budget knob and must not grow unbounded with the corpus:
+    k ≈ √n measured exp 1.25 / 60× cost at 27× data, SCALE.md round-8).
+    Below the cap, k grows with the corpus because a tiny codebook
+    under-spends the bit budget a larger corpus can afford to fill
+    (more codewords = finer cells = lower reconstruction error at the
+    same per-vector byte cost once k ≤ 256).  Integer-exact — power of
+    two via bit_length — so a SQL oracle reproduces it bit-for-bit:
+    ``least(greatest(CAST(2 ** (length(bin(count(*) // 16)) - 1) AS
+    BIGINT), 16), 256)`` (DuckDB ``length(bin(0)) = 1`` matches
+    ``max(bit_length - 1, 0) = 0``)."""
+    return min(max(1 << max((n_rows // per_code).bit_length() - 1, 0), lo), hi)
+
+
+def auto_pq_m(dim: int, sub_target: int = 16, lo: int = 2, hi: int = 16) -> int:
+    """Self-scaling subvector count for a ``dim``-dim corpus: the
+    largest power of two ≤ dim/``sub_target`` that DIVIDES dim, clamped
+    to [2, 16] — i.e. target ~16 dims per subspace (the FAISS-typical
+    dsub), subject to the hard layout requirement dim % m == 0
+    (:func:`_subvectors` raises otherwise).  d=64 → 4, d=128 → 8,
+    d=384 → 16, d=768 → 16; an odd dim degenerates to m=1 (no split).
+    Integer-exact: power-of-two floor via bit_length, divisibility via
+    ``dim & (-dim)`` (the largest power of two dividing dim), so a SQL
+    oracle derives the SAME m from ``len(q)``:
+    ``least(least(CAST(2 ** (length(bin(d // 16)) - 1) AS BIGINT),
+    d & (-d)), 16)`` then lifted to ≥2 when that still divides d."""
+    pow2 = 1 << max((dim // sub_target).bit_length() - 1, 0)
+    m0 = min(pow2, dim & (-dim), hi)
+    mg = max(m0, lo)
+    return mg if dim % mg == 0 else m0
+
+
+def auto_code_mod(n_rows: int, k: int | None = None) -> int:
+    """Seed stride for a ``k``-codeword-per-subspace codebook:
+    ``max(2, n // k)``; ``k=None`` self-scales via :func:`auto_pq_k`.
+    Integer-exact SQL twin: ``greatest(2, count(*) // k)``."""
+    if k is None:
+        k = auto_pq_k(n_rows)
     return max(2, n_rows // k)
+
+
+def _resolve_m(emb: DataFrame, vec_col: str, m: int | None) -> int:
+    """``m=None`` self-scales from the corpus dimension — one
+    single-row head read (the dimension is constant per corpus), the
+    write-knob analogue of the one column-pruned ``count()`` the read
+    knobs pay."""
+    if m is not None:
+        return m
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return auto_pq_m(int(row["d"]))
 
 
 def auto_nprobe(nlist: int, lo: int = 2, hi: int = 32) -> int:
@@ -165,7 +212,7 @@ def pq_train(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    m: int = 4,
+    m: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
@@ -184,6 +231,7 @@ def pq_train(
     (exact SQL twin, same as similarity._kmeans_train).  Duplicate
     seeds lose all members to the lower code_id on the first
     assignment and drop out; both engines agree."""
+    m = _resolve_m(emb, vec_col, m)
     if code_mod is None:
         code_mod = auto_code_mod(emb.count())
     n = with_quantized(emb, vec_col).select(
@@ -241,7 +289,7 @@ def pq_encode(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    m: int = 4,
+    m: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
 ) -> DataFrame:
@@ -257,7 +305,7 @@ def pq_encode_incremental(
     books: DataFrame,
     id_col: str,
     vec_col: str,
-    m: int = 4,
+    m: int | None = None,
 ) -> DataFrame:
     """Encode a NEW batch against an EXISTING (materialized) codebook —
     the incremental index-maintenance path a streaming ingest takes:
@@ -268,6 +316,7 @@ def pq_encode_incremental(
     code_id, n2).  Codebook drift from ingesting a shifted distribution
     is a rebuild trigger, not an encode-time concern — exactly as in a
     FAISS deployment."""
+    m = _resolve_m(new_emb, vec_col, m)
     n = with_quantized(new_emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
@@ -283,7 +332,7 @@ def pq_adc_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    m: int = 4,
+    m: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
     refine_mult: int | None = None,
@@ -303,6 +352,7 @@ def pq_adc_topk(
     (adot/√(‖p‖²·‖c‖²)) — the one scalar IVFADC keeps alongside the
     codes for inner-product/cosine metrics.  All LUT sums are integer
     sums (exact); ranking ties break on cand_id in both stages."""
+    m = _resolve_m(emb, vec_col, m)
     if refine_mult is None:
         refine_mult = auto_refine_mult(emb.count(), k)
     subs, books = pq_train(emb, id_col, vec_col, m, code_mod, iters)
@@ -436,7 +486,7 @@ def ivfpq_index(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    m: int = 4,
+    m: int | None = None,
     cell_mod: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
@@ -461,6 +511,7 @@ def ivfpq_index(
     search batches then never touch full-dimension corpus data.  Pass
     ``centroids`` to build over a TRAINED coarse quantizer (see
     :func:`ivf_residuals`)."""
+    m = _resolve_m(emb, vec_col, m)
     n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod, centroids)
     if code_mod is None:
         code_mod = auto_code_mod(emb.count())
@@ -483,7 +534,7 @@ def ivfpq_search(
     id_col: str,
     vec_col: str,
     k: int,
-    m: int = 4,
+    m: int | None = None,
     refine_mult: int | None = None,
     nprobe: int | None = None,
 ) -> DataFrame:
@@ -504,6 +555,7 @@ def ivfpq_search(
     ``refine_mult`` from the corpus count (:func:`auto_refine_mult`),
     matching which knob the r9 sweep measured as binding per path;
     pass explicit values to pin an external contract."""
+    m = _resolve_m(probes, vec_col, m)
     if nprobe is None:
         nprobe = auto_nprobe(cells.count())
     if refine_mult is None:
@@ -607,7 +659,7 @@ def ivfpq_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    m: int = 4,
+    m: int | None = None,
     cell_mod: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
@@ -626,6 +678,7 @@ def ivfpq_topk(
     exact stored norm, and the top ``refine_mult·k`` re-rank exactly.
     Deployments call the two halves separately and amortize the index
     (measured: search alone is flat across corpus growth — SCALE.md)."""
+    m = _resolve_m(emb, vec_col, m)
     cells, books, index = ivfpq_index(
         emb, id_col, vec_col, m, cell_mod, code_mod, iters, centroids
     )

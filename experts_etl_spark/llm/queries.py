@@ -1107,20 +1107,40 @@ def ann_topk_ivf2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Product quantization (llm/pq.py) --------------------------------
-# Oracle building blocks: the 64-dim corpus split into m=4 aligned
-# 16-dim subvectors; per-subspace Lloyd training with L2 argmin
-# assignment (argmin(||c||² − 2·x·c), ties to the smaller code_id) and
+# Oracle building blocks: the corpus split into m aligned subvectors;
+# per-subspace Lloyd training with L2 argmin assignment
+# (argmin(||c||² − 2·x·c), ties to the smaller code_id) and
 # floor-integer centroid updates — the PQ twin of _kmeans_iter_sql.
-# Codebook seed stride: FIXED k ≈ 64 codewords per subspace
-# (llm/pq.py:auto_code_mod — k is a bit-budget knob and must not grow
-# with the corpus, or train/encode go n·√n; measured exp 1.25 before
-# the fix, SCALE.md round-8).
-_PQ_CODE_MOD = "(SELECT greatest(2, count(*) // 64) FROM embeddings)"
-_PQ_SUBS = """
+# BOTH write knobs are DERIVED from the data (r10 verdict next #6), so
+# the driver hash-proves the rules themselves:
+# - m  = auto_pq_m(d): largest power of two ≤ d/16 that divides d,
+#   clamped to [2, 16] (the pqm CTE, from len(q));
+# - k  = auto_pq_k(n): largest power of two keeping ≥16 training
+#   vectors per codeword, clamped to [16, 256] (the FAISS 8-bit cap —
+#   k must not grow unbounded with the corpus or train/encode go
+#   n·√n; measured exp 1.25 before the fixed-k fix, SCALE.md round-8).
+_PQ_CODE_MOD = (
+    "(SELECT greatest(2, count(*) // least(greatest("
+    "CAST(2 ** (length(bin(count(*) // 16)) - 1) AS BIGINT), 16), 256)) FROM n)"
+)
+# pqm: the self-scaled subvector count m and the corpus dim d, derived
+# once per query (llm/pq.py:auto_pq_m).  Defined by _PQ_SUBS and by the
+# IVFPQ prefixes; referenced by every subvector-slicing CTE.
+_PQ_M_CTE = """
+    pqm AS (
+      SELECT CASE WHEN d % greatest(m0, 2) = 0 THEN greatest(m0, 2)
+                  ELSE m0 END AS m, d
+      FROM (SELECT d,
+                   least(least(CAST(2 ** (length(bin(d // 16)) - 1) AS BIGINT),
+                               d & (-d)), 16) AS m0
+            FROM (SELECT max(len(q)) AS d FROM n))
+    )"""
+_PQ_SUBS = f"""
+    {_PQ_M_CTE},
     subs AS (
       SELECT vec_id, CAST(j AS INT) AS sub_id,
-             q[1 + 16 * j : 16 * (j + 1)] AS sq
-      FROM n CROSS JOIN range(0, 4) t(j)
+             q[1 + (d // m) * j : (d // m) * (j + 1)] AS sq
+      FROM n, pqm CROSS JOIN range(0, 16) t(j) WHERE j < m
     )"""
 
 
@@ -1133,7 +1153,8 @@ def _pq_iter_sql(cprev: str, k: int, src: str = "subs", tag: str = "p") -> str:
                         c.code_id) AS rn
       FROM {src} s JOIN {cprev} c ON s.sub_id = c.sub_id) WHERE rn = 1),
     {tag}s{k} AS (SELECT sub_id, code_id, i, sum(sq[i]) AS s, count(*) AS cnt
-              FROM {tag}a{k} CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
+              FROM {tag}a{k} CROSS JOIN range(1, 129) t(i)
+              WHERE i <= len(sq) GROUP BY 1, 2, 3),
     {tag}c{k} AS (SELECT sub_id, code_id, cq, list_dot_product(cq, cq) AS cn2 FROM (
       SELECT sub_id, code_id, list(m ORDER BY i) AS cq FROM (
         SELECT sub_id, code_id, i, floor(s / cnt) AS m FROM {tag}s{k}) GROUP BY 1, 2))"""
@@ -1168,11 +1189,15 @@ _PQ_TRAIN = _pq_train_sql(_PQ_CODE_MOD)
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoder (llm/pq.py:pq_encode): per-subspace
-    Lloyd codebooks (m=4 subspaces, FIXED k ≈ 64 codewords each —
-    auto_code_mod; k is a bit-budget knob, so train+encode cost a
-    constant m·k subspace dots per vector and stay exactly linear in
-    the corpus — seeds every (n//64)-th vector's subvectors, 2
-    deterministic iterations on the integer grid), then every corpus
+    Lloyd codebooks — BOTH write knobs self-scale and are hash-proven
+    by the oracle deriving the same integer rules (r10 verdict next
+    #6): m = auto_pq_m(d) (largest power of two ≤ d/16 dividing d,
+    clamped [2,16] — the pqm CTE) and k = auto_pq_k(n) (largest power
+    of two keeping ≥16 training vectors per codeword, clamped to the
+    FAISS 8-bit cap 256, so train+encode cost stays a bounded m·k
+    subspace dots per vector — exactly linear past the cap; seeds
+    every (n//k)-th vector's subvectors, 2 deterministic iterations on
+    the integer grid), then every corpus
     vector compressed to m code ids — the representation a 100 TB
     vector index persists: m small ints + one exact norm per vector
     instead of d floats (~50× smaller at d=64, ~200× at d=768).  L2
@@ -1183,7 +1208,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.llm.pq import pq_encode
 
     e = read_table(spark, sf_dir, "embeddings")
-    return pq_encode(e, "vec_id", "embedding", m=4, iters=2)
+    return pq_encode(e, "vec_id", "embedding", iters=2)
 
 
 @query(
@@ -1191,15 +1216,12 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH n0 AS ({_NEMB}),
     n AS (SELECT * FROM n0 WHERE vec_id % 2 = 0),
-    {_pq_train_sql(
-        "(SELECT greatest(2, count(*) // 64) FROM embeddings"
-        " WHERE vec_id % 2 = 0)"
-    )},
+    {_pq_train_sql(_PQ_CODE_MOD)},
     newn AS (SELECT * FROM n0 WHERE vec_id % 2 = 1),
     newsubs AS (
       SELECT vec_id, CAST(j AS INT) AS sub_id,
-             q[1 + 16 * j : 16 * (j + 1)] AS sq
-      FROM newn CROSS JOIN range(0, 4) t(j)
+             q[1 + (d // m) * j : (d // m) * (j + 1)] AS sq
+      FROM newn, pqm CROSS JOIN range(0, 16) t(j) WHERE j < m
     ),
     enc_new AS (SELECT vec_id, sub_id, code_id FROM (
       SELECT s.vec_id, s.sub_id, c.code_id,
@@ -1230,8 +1252,8 @@ def ann_pq_codes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     existing = e.filter(F.col("vec_id") % 2 == 0)
     new = e.filter(F.col("vec_id") % 2 == 1)
-    _, books = pq_train(existing, "vec_id", "embedding", m=4, iters=2)
-    return pq_encode_incremental(new, books, "vec_id", "embedding", m=4)
+    _, books = pq_train(existing, "vec_id", "embedding", iters=2)
+    return pq_encode_incremental(new, books, "vec_id", "embedding")
 
 
 @query(
@@ -1242,8 +1264,8 @@ def ann_pq_codes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec AS (
       SELECT s.sub_id,
              CAST(floor(list_dot_product(
-                    list_transform(range(1, 17), i -> s.sq[i] - c.cq[i]),
-                    list_transform(range(1, 17), i -> s.sq[i] - c.cq[i]))
+                    list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] - c.cq[i]),
+                    list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] - c.cq[i]))
                   / greatest(list_dot_product(s.sq, s.sq), 1.0)
                   * 1000000) AS BIGINT) AS err_ppm
       FROM enc e
@@ -1271,7 +1293,7 @@ def ann_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.llm.pq import _assign_codes, pq_train
 
     e = read_table(spark, sf_dir, "embeddings")
-    subs, books = pq_train(e, "vec_id", "embedding", m=4, iters=2)
+    subs, books = pq_train(e, "vec_id", "embedding", iters=2)
     rec = (
         _assign_codes(subs, books)
         .join(subs, ["vec_id", "sub_id"])
@@ -1357,7 +1379,7 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 32)
     return pq_adc_topk(
-        e, probes, "vec_id", "embedding", k=3, m=4, iters=2, refine_mult=4
+        e, probes, "vec_id", "embedding", k=3, iters=2, refine_mult=4
     )
 
 
@@ -1394,15 +1416,15 @@ _IVFPQ_CHAIN = f"""
     ),
     resid AS (
       SELECT a.vec_id, a.cent_id,
-             list_transform(range(1, 65), i -> e.q[i] - c.cq[i]) AS q
+             list_transform(range(1, len(e.q) + 1), i -> e.q[i] - c.cq[i]) AS q
       FROM vassign a
       JOIN n e ON e.vec_id = a.vec_id
       JOIN cells c ON c.cent_id = a.cent_id
     ),
     rsubs AS (
       SELECT vec_id, CAST(j AS INT) AS sub_id,
-             q[1 + 16 * j : 16 * (j + 1)] AS sq
-      FROM resid CROSS JOIN range(0, 4) t(j)
+             q[1 + (d // m) * j : (d // m) * (j + 1)] AS sq
+      FROM resid, pqm CROSS JOIN range(0, 16) t(j) WHERE j < m
     ),
     rc0 AS (SELECT sub_id, vec_id AS code_id, sq AS cq,
                    list_dot_product(sq, sq) AS cn2
@@ -1417,8 +1439,9 @@ _IVFPQ_CHAIN = f"""
       FROM rsubs s JOIN rc2 c ON s.sub_id = c.sub_id) WHERE rn = 1),
     psubs AS (
       SELECT vec_id, CAST(j AS INT) AS sub_id,
-             q[1 + 16 * j : 16 * (j + 1)] AS sq
-      FROM n CROSS JOIN range(0, 4) t(j) WHERE vec_id < 32
+             q[1 + (d // m) * j : (d // m) * (j + 1)] AS sq
+      FROM n, pqm CROSS JOIN range(0, 16) t(j)
+      WHERE j < m AND vec_id < 32
     ),
     lut AS (
       SELECT s.vec_id AS probe_id, s.sub_id, c.code_id,
@@ -1477,6 +1500,7 @@ _IVFPQ_FINAL = """
 # Stride-seeded coarse cells (the `cells` CTE the chain consumes).
 _IVFPQ_STRIDE_PREFIX = f"""
     WITH n AS ({_NEMB}),
+    {_PQ_M_CTE},
     cells AS (
       SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n
       WHERE vec_id % {_CENT_MOD} = 0
@@ -1488,6 +1512,7 @@ _IVFPQ_STRIDE_PREFIX = f"""
 # their seed cent_ids so the nested super stride carries over.
 _IVFPQ_REFINED_PREFIX = f"""
     WITH n AS ({_NEMB}),
+    {_PQ_M_CTE},
     tr AS (
       SELECT * FROM n
       WHERE vec_id % {_TRAIN_MOD} = 0 OR vec_id % {_CENT_MOD} = 0
@@ -1506,8 +1531,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the TWO-LEVEL hierarchy (ivf2_index — n^1.25 assignment,
     not flat n·√n), PQ codebooks train on the CELL RESIDUALS (seed
     stride offset by 1 — cell seeds have all-zero residuals and would
-    collapse the codebook; FIXED k ≈ 64 codewords, auto_code_mod, so
-    train/encode stay linear), and each probe searches only its
+    collapse the codebook; k = auto_pq_k(n), capped at the FAISS 8-bit
+    256, so train/encode stay linear past the cap), and each probe
+    searches only its
     nprobe=2 best cells — the IVF half: candidate volume per probe is
     nprobe·n/nlist, not the corpus — scoring each candidate as
     dot(p, cell) + Σ ADC-LUT entries, an exact decomposition of
@@ -1526,7 +1552,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 32)
-    return ivfpq_topk(e, probes, "vec_id", "embedding", k=3, m=4, iters=2)
+    return ivfpq_topk(e, probes, "vec_id", "embedding", k=3, iters=2)
 
 
 @query("ann_topk_ivfpq_refined", _IVFPQ_REFINED_PREFIX + _IVFPQ_CHAIN + _IVFPQ_FINAL)
@@ -1556,7 +1582,7 @@ def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = e.filter(F.col("vec_id") < 32)
     return ivfpq_topk(
-        e, probes, "vec_id", "embedding", k=3, m=4, iters=2,
+        e, probes, "vec_id", "embedding", k=3, iters=2,
         centroids=cents,
     )
 
@@ -1655,7 +1681,8 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto_nprobe(nlist), refine_mult = auto_refine_mult(n, k), derived
     identically in the oracle via _NPROBE_CELLS/_REFINE3, so this
     audit measures the production defaults; ``ann_topk_pq_adc`` keeps
-    the fixed refine_mult=4 baseline).  A user tuning m / PQ_K /
+    the fixed refine_mult=4 baseline; the WRITE knobs m and k
+    self-scale too via auto_pq_m/auto_pq_k, r10).  A user tuning m / k /
     nprobe / refine_mult needs this
     curve, not the score-ratio pins alone: ADC compresses 64 floats to
     4 codes, so the shortlist can miss true neighbors that the exact
@@ -1687,10 +1714,10 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     methods = {
         "pq_adc": pq_adc_topk(
-            e, probes, "vec_id", "embedding", k=3, m=4, iters=2
+            e, probes, "vec_id", "embedding", k=3, iters=2
         ),
         "ivfpq_refined": ivfpq_topk(
-            e, probes, "vec_id", "embedding", k=3, m=4, iters=2,
+            e, probes, "vec_id", "embedding", k=3, iters=2,
             centroids=cents,
         ),
     }

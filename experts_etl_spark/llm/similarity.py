@@ -139,6 +139,28 @@ def brute_force_topk(
 _TRUTH_CACHE: dict = {}
 
 
+def _dir_fingerprint(path: str) -> tuple:
+    """Cheap filesystem fingerprint of a corpus dir: sorted
+    (name, size, mtime_ns) of its entries.  Regenerating the dir
+    in-place changes the fingerprint, so the truth cache misses
+    instead of serving stale rows.  Non-local paths (s3://, hdfs://)
+    and missing dirs fingerprint as the path string itself — the
+    caller-provided key remains the only discriminator there."""
+    import os
+
+    try:
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                    if e.is_file()
+                )
+            )
+    except OSError:
+        return (path,)
+
+
 def ann_exact_truth(
     emb: DataFrame,
     id_col: str,
@@ -165,9 +187,10 @@ def ann_exact_truth(
     brute-force top-k is per-probe independent, so the subset is exact.
 
     ``cache_key`` identifies the corpus (callers pass the data dir);
-    pass ``None`` to bypass the cache.  Corpus dirs are immutable for
-    a process lifetime (test fixtures; scale-fit generates a fresh dir
-    per mult), which is what makes the key sound.
+    pass ``None`` to bypass the cache.  The key also carries a cheap
+    filesystem fingerprint of the dir (file names + sizes + mtimes),
+    so a dir regenerated in-place within one application fails safe to
+    a recompute instead of serving a stale truth table (r10 ADVICE).
     """
     spark = emb.sparkSession
     key = None
@@ -175,7 +198,9 @@ def ann_exact_truth(
         key = (
             spark.sparkContext.applicationId,
             cache_key,
+            _dir_fingerprint(cache_key),
             id_col,
+            vec_col,
             probe_max,
             k,
         )

@@ -58,7 +58,13 @@ def test_prefix_probe_filter_is_exact(emb):
 
 def test_second_consumer_hits_cache(emb, spark):
     key = (
-        spark.sparkContext.applicationId, "cache-hit-probe", "vec_id", 8, 2,
+        spark.sparkContext.applicationId,
+        "cache-hit-probe",
+        sim._dir_fingerprint("cache-hit-probe"),
+        "vec_id",
+        "embedding",
+        8,
+        2,
     )
     sim._TRUTH_CACHE.pop(key, None)
     ann_exact_truth(
@@ -80,8 +86,65 @@ def test_second_consumer_hits_cache(emb, spark):
     )
     assert other.count() == 8 * 2
     sim._TRUTH_CACHE.pop(
-        (spark.sparkContext.applicationId, "other-corpus", "vec_id", 8, 2), None
+        (
+            spark.sparkContext.applicationId,
+            "other-corpus",
+            sim._dir_fingerprint("other-corpus"),
+            "vec_id",
+            "embedding",
+            8,
+            2,
+        ),
+        None,
     )
+
+
+def test_vec_col_distinguishes_cache_entries(emb, spark):
+    """Two audits over the same corpus dir but different embedding
+    columns must not share a truth table (r10 ADVICE: the old key
+    omitted vec_col)."""
+    alt = emb.withColumn("head4", F.slice(F.col("embedding"), 1, 4))
+    a = ann_exact_truth(
+        alt, "vec_id", "embedding", probe_max=4, k=2, cache_key="veccol-probe"
+    )
+    b = ann_exact_truth(
+        alt, "vec_id", "head4", probe_max=4, k=2, cache_key="veccol-probe"
+    )
+    # a 4-dim prefix gives a different neighbor order for at least one
+    # probe — if the cache keyed only on the dir these would be
+    # row-identical by construction
+    assert _rows(a) != _rows(b)
+    for vc in ("embedding", "head4"):
+        sim._TRUTH_CACHE.pop(
+            (
+                spark.sparkContext.applicationId,
+                "veccol-probe",
+                sim._dir_fingerprint("veccol-probe"),
+                "vec_id",
+                vc,
+                4,
+                2,
+            ),
+            None,
+        )
+
+
+def test_in_place_regeneration_invalidates(emb, tmp_path, spark):
+    """A corpus dir regenerated in-place must MISS the cache — the
+    filesystem fingerprint (names/sizes/mtimes) changes, so the stale
+    truth table is never served (r10 ADVICE)."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"v1")
+    k1 = sim._dir_fingerprint(str(d))
+    import os
+
+    (d / "part-0.parquet").write_bytes(b"v2-longer")
+    os.utime(d / "part-0.parquet", ns=(1, 1))
+    k2 = sim._dir_fingerprint(str(d))
+    assert k1 != k2
+    # non-local / missing paths degrade to the path string (no crash)
+    assert sim._dir_fingerprint("s3://bucket/corpus") == ("s3://bucket/corpus",)
 
 
 def test_no_cache_key_bypasses_cache(emb, spark):

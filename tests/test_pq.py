@@ -415,3 +415,59 @@ def test_auto_knob_defaults_flow_through_search(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_auto_write_knob_rules_and_sql_twins(spark):
+    """The self-scaling WRITE knobs (r10 verdict next #6) are
+    integer-exact and SQL-reproducible like the read knobs:
+    auto_pq_m(d) = largest power of two <= d/16 that divides d, clamped
+    [2,16]; auto_pq_k(n) = largest power of two keeping >=16 training
+    vectors per codeword, clamped [16,256].  Checked value-equal
+    against their DuckDB twins over grids straddling every clamp and
+    divisibility boundary."""
+    import duckdb
+
+    from experts_etl_spark.llm.pq import auto_code_mod, auto_pq_k, auto_pq_m
+
+    con = duckdb.connect()
+    for d in [2, 8, 16, 17, 32, 64, 66, 68, 80, 96, 128, 256, 384, 512, 768,
+              1024, 1536, 3072]:
+        sql_m = con.execute(
+            f"""SELECT CASE WHEN {d} % greatest(m0, 2) = 0
+                            THEN greatest(m0, 2) ELSE m0 END
+                FROM (SELECT least(least(CAST(2 ** (length(bin({d} // 16)) - 1)
+                                          AS BIGINT), {d} & (-{d})), 16) AS m0)"""
+        ).fetchone()[0]
+        assert auto_pq_m(d) == sql_m, (d, auto_pq_m(d), sql_m)
+        if d % 2 == 0:
+            assert d % auto_pq_m(d) == 0, d  # the layout invariant
+    for n in [1, 15, 16, 255, 256, 500, 2000, 2048, 4095, 4096, 20000,
+              54000, 10**7, 10**12]:
+        sql_k = con.execute(
+            f"SELECT least(greatest(CAST(2 ** (length(bin({n} // 16)) - 1) "
+            f"AS BIGINT), 16), 256)"
+        ).fetchone()[0]
+        assert auto_pq_k(n) == sql_k, (n, auto_pq_k(n), sql_k)
+        assert auto_code_mod(n) == max(2, n // auto_pq_k(n)), n
+    con.close()
+    # the documented fixture values
+    assert auto_pq_m(64) == 4       # driver corpora (d=64): unchanged layout
+    assert auto_pq_m(768) == 16     # a typical real embedding dim
+    assert auto_pq_m(17) == 1       # odd dim degenerates to no-split
+    assert auto_pq_k(500) == 16     # sf0.001 embeddings
+    assert auto_pq_k(2000) == 64    # sf0.01 embeddings == the legacy PQ_K
+    assert auto_pq_k(20000) == 256  # sf0.1 embeddings: the FAISS 8-bit cap
+
+
+def test_auto_m_default_flows_through_encode(spark):
+    """pq_encode with m omitted equals pq_encode with auto_pq_m(d)
+    passed explicitly — the default IS the rule."""
+    from experts_etl_spark.llm.pq import auto_pq_m, pq_encode
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    d = e.select(F.size("embedding")).first()[0]
+    auto = pq_encode(e, "vec_id", "embedding", iters=1)
+    explicit = pq_encode(e, "vec_id", "embedding", m=auto_pq_m(d), iters=1)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

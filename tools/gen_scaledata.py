@@ -54,21 +54,56 @@ def gen_embeddings(
     )
 
 
-def gen_documents(n: int, seed: int, vocab_size: int = 2000) -> pa.Table:
+def heaps_vocab_size(n_docs: int, base: int = 2000, base_docs: int = 5000) -> int:
+    """Heaps'-law vocabulary for an ``n_docs`` corpus:
+    |V| = base · (n/base_docs)^0.7, floored at ``base``.  The FIXED
+    2000-word vocab is what saturated the 81× legs (r10 verdict Wrong
+    #1: 3× docs → 9.17× chance band collisions because every possible
+    shingle is eventually drawn); real corpora keep minting new types
+    (Heaps' law, β≈0.4–0.9), so the shingle space grows with the corpus
+    and the per-doc chance-collision rate stays ~constant.  Anchored so
+    the 1× fixture (5000 docs) keeps the SAME vocabulary as the fixed
+    mode — the two modes diverge only as the corpus grows."""
+    return max(base, int(round(base * (n_docs / base_docs) ** 0.7)))
+
+
+def gen_documents(
+    n: int, seed: int, vocab_size: int = 2000, corpus: str = "fixed"
+) -> pa.Table:
     """Zipf-ish word draws; ~4% of docs are near-dup copies (a few words
-    swapped) and ~1% exact copies, so every dedup family has signal."""
+    swapped) and ~1% exact copies, so every dedup family has signal.
+
+    ``corpus="fixed"`` is the original fixture (byte-identical to every
+    committed SCALE_FIT row); ``corpus="heaps"`` grows the vocabulary
+    with the corpus (Heaps' law) so duplication signal is
+    scale-INVARIANT: truth pairs still arrive at the fixed 1%/4% rates,
+    but chance shingle collisions no longer explode as n grows."""
     rng = np.random.default_rng(seed)
-    vocab = np.array([f"w{i:04d}" for i in range(vocab_size)])
+    if corpus == "heaps":
+        vocab_size = heaps_vocab_size(n)
+    vocab = np.array([f"w{i:05d}" if corpus == "heaps" else f"w{i:04d}"
+                      for i in range(vocab_size)])
     # zipf-ish rank weights
     w = 1.0 / np.arange(1, vocab_size + 1)
     w /= w.sum()
+    cumw = np.cumsum(w)
+
+    def draw(ln: int) -> np.ndarray:
+        if corpus == "heaps":
+            # inverse-CDF draw: O(ln·log|V|) regardless of vocab size
+            # (rng.choice's per-call setup is O(|V|), which dominates at
+            # Heaps-grown vocabularies)
+            idx = np.searchsorted(cumw, rng.random(ln), side="right")
+            return vocab[np.minimum(idx, vocab_size - 1)]
+        return rng.choice(vocab, size=ln, p=w)
+
     texts: list[str] = []
     for i in range(n):
         if i > 0 and i % 100 == 99:  # exact dup of a recent doc
             texts.append(texts[i - rng.integers(1, 50)])
             continue
         ln = int(rng.integers(20, 200))
-        words = rng.choice(vocab, size=ln, p=w)
+        words = draw(ln)
         if i > 0 and i % 25 == 24:  # near-dup: copy + perturb a few words
             base = texts[i - rng.integers(1, 20)].split()
             if len(base) > 10:
@@ -91,9 +126,14 @@ def gen_documents(n: int, seed: int, vocab_size: int = 2000) -> pa.Table:
     )
 
 
-def generate(outdir: str, docs: int, vecs: int, seed: int, mode: str) -> None:
+def generate(
+    outdir: str, docs: int, vecs: int, seed: int, mode: str, corpus: str = "fixed"
+) -> None:
     os.makedirs(outdir, exist_ok=True)
-    pq.write_table(gen_documents(docs, seed), os.path.join(outdir, "documents.parquet"))
+    pq.write_table(
+        gen_documents(docs, seed, corpus=corpus),
+        os.path.join(outdir, "documents.parquet"),
+    )
     pq.write_table(
         gen_embeddings(vecs, seed + 1, mode), os.path.join(outdir, "embeddings.parquet")
     )
@@ -106,6 +146,10 @@ if __name__ == "__main__":
     ap.add_argument("--vecs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--mode", choices=["uniform", "clustered"], default="uniform")
+    ap.add_argument("--corpus", choices=["fixed", "heaps"], default="fixed")
     args = ap.parse_args()
-    generate(args.outdir, args.docs, args.vecs, args.seed, args.mode)
-    print(f"wrote {args.outdir}: {args.docs} docs, {args.vecs} vecs ({args.mode})")
+    generate(args.outdir, args.docs, args.vecs, args.seed, args.mode, args.corpus)
+    print(
+        f"wrote {args.outdir}: {args.docs} docs, {args.vecs} vecs "
+        f"({args.mode}, corpus={args.corpus})"
+    )

@@ -92,6 +92,14 @@ def main() -> None:
     ap.add_argument("--merge", action="store_true",
                     help="with --out and --only: merge rows into the existing "
                          "file instead of overwriting it")
+    ap.add_argument("--corpus", choices=["fixed", "heaps"], default="fixed",
+                    help="documents fixture family: 'fixed' = the original "
+                         "2000-word vocab; 'heaps' = Heaps'-law vocabulary "
+                         "growth (scale-invariant duplication)")
+    ap.add_argument("--row-suffix", default=None,
+                    help="suffix appended to result row names (e.g. '@heaps') "
+                         "so variant-fixture rows merge alongside the "
+                         "canonical ones instead of overwriting them")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     assert mults[0] == 1, "the first multiplier must be the 1x base"
@@ -107,7 +115,14 @@ def main() -> None:
     dirs = {}
     for mult in mults:
         d = f"{root}/x{mult}"
-        generate(d, docs=args.docs1 * mult, vecs=args.vecs1 * mult, seed=42, mode="uniform")
+        generate(
+            d,
+            docs=args.docs1 * mult,
+            vecs=args.vecs1 * mult,
+            seed=42,
+            mode="uniform",
+            corpus=args.corpus,
+        )
         dirs[mult] = d
 
     pack = args.only.split(",") if args.only else PACK
@@ -177,7 +192,7 @@ def main() -> None:
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()
-        results[name] = row
+        results[name + (args.row_suffix or "")] = row
 
     # Per-row ``run`` records are the ONLY authoritative statement of
     # what a row was measured under — merged files accumulate rows from
@@ -189,6 +204,7 @@ def main() -> None:
         "mults": mults,
         "docs_1x": args.docs1,
         "vecs_1x": args.vecs1,
+        "corpus": args.corpus,
     }
     for row in results.values():
         row["run"] = dict(run_meta)
@@ -202,6 +218,11 @@ def main() -> None:
             with open(args.out) as fh:
                 prev = json.load(fh)
             prev.pop("mults", None)  # retire the misleading header
+            # Older-format files also carried per-run generator params
+            # at the top level; the per-row 'run' records are
+            # authoritative, so drop these too (r10 ADVICE).
+            prev.pop("docs_1x", None)
+            prev.pop("vecs_1x", None)
             prev["note"] = out["note"]
             prev.setdefault("queries", {}).update(results)
             out = prev

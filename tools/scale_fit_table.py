@@ -33,7 +33,9 @@ def main() -> None:
     print("|---|" + "---|" * (len(mults) + 1))
     for name, row in rows.items():
         if "err" in row:
-            print(f"| {name} | ERR {row['err'][:60]} |")
+            # Pad to the declared header width so the markdown table
+            # stays well-formed even when a query errored (r10 ADVICE).
+            print(f"| {name} | ERR {row['err'][:60]} |" + " |" * len(mults))
             continue
         cells = " | ".join(
             f"{row[f't{m}x']:.2f}s" if f"t{m}x" in row else ""
