@@ -326,6 +326,43 @@ def pq_encode_incremental(
     return _assign_codes(subs, books).join(n.select("vec_id", "n2"), "vec_id")
 
 
+def pq_recon_ppm(
+    emb: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int | None = None,
+) -> int:
+    """Mean relative reconstruction error (ppm) of ``emb`` under the
+    given codebooks — the index-quality scalar a streaming ingest
+    monitors to trigger a codebook rebuild (the decision loop around
+    the gated ``ann_pq_recon_error`` audit; FAISS deployments watch the
+    same drift).  Same integer-grid arithmetic as the audit: per-row
+    ppm floors to an integer BEFORE the mean so the scalar is
+    engine-exact.  Returns one driver-side int — a bounded control-
+    plane scalar (the fixpoint-convergence pattern), never row data."""
+    m = _resolve_m(emb, vec_col, m)
+    n = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_q").alias("q")
+    )
+    subs = _subvectors(n, m)
+    rec = (
+        _assign_codes(subs, books)
+        .join(subs, ["vec_id", "sub_id"])
+        .join(F.broadcast(books), ["sub_id", "code_id"])
+        .withColumn("_diff", F.zip_with("sq", "cq", lambda a, b: a - b))
+    )
+    err_ppm = F.floor(
+        dot(F.col("_diff"), F.col("_diff"))
+        / F.greatest(dot(F.col("sq"), F.col("sq")), F.lit(1.0))
+        * 1000000
+    ).cast("bigint")
+    row = rec.select(err_ppm.alias("p")).agg(
+        F.floor(F.avg("p")).cast("bigint").alias("ppm")
+    ).first()
+    return int(row["ppm"]) if row["ppm"] is not None else 0
+
+
 def pq_adc_topk(
     emb: DataFrame,
     probes: DataFrame,

@@ -3778,3 +3778,415 @@ def encode_token_ids_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     locally (pytest handles list columns); ungated only because the
     driver harness cannot canonicalize array columns."""
     return _encode_token_ids_plan(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# The composed incremental tick (streaming/tick.py)
+# ---------------------------------------------------------------------------
+
+_TICK_ORACLE = f"""
+    WITH RECURSIVE
+    base AS MATERIALIZED (SELECT doc_id, text, {_W} AS w FROM documents),
+    bb AS MATERIALIZED (SELECT * FROM base WHERE doc_id % 10 = 7),
+    -- stage 1: quality + fingerprint + Gopher repetition over the batch
+    q AS MATERIALIZED (
+      SELECT doc_id,
+             (CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / greatest(CAST(len(w) AS DOUBLE), 1.0)) * 0.5
+             + (least(CAST(length(text) AS DOUBLE), 400.0) / 400.0) * 0.3
+             + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.2 AS quality,
+             md5(array_to_string(w, ' ')) AS fp
+      FROM bb
+    ),
+    btoks AS (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM bb
+    ),
+    grams AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM btoks
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM grams GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_c FROM wc GROUP BY 1
+    ),
+    bgc AS (
+      SELECT doc_id, concat_ws(' ', word, nxt) AS bigram, count(*) AS c
+      FROM grams WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    bgs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c FROM bgc GROUP BY 1
+    ),
+    rep AS MATERIALIZED (
+      SELECT ws.doc_id,
+             (CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+             OR (coalesce(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) > 0.18)
+               AS repetitive
+      FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+    ),
+    afp AS MATERIALIZED (
+      SELECT DISTINCT md5(array_to_string(w, ' ')) AS fp
+      FROM base WHERE doc_id % 10 <> 7
+    ),
+    staged AS MATERIALIZED (
+      SELECT q.doc_id, q.quality, q.fp,
+             coalesce(rep.repetitive, FALSE) AS repetitive
+      FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+    ),
+    rk AS MATERIALIZED (
+      SELECT *,
+             row_number() OVER (PARTITION BY fp ORDER BY
+               (quality IS NOT NULL AND quality >= 0.5 AND NOT repetitive) DESC,
+               doc_id) > 1 AS dup_in_batch
+      FROM staged
+    ),
+    r1 AS MATERIALIZED (
+      SELECT doc_id, quality,
+             CASE WHEN NOT (quality >= 0.5) OR quality IS NULL THEN 'low_quality'
+                  WHEN repetitive THEN 'repetitive'
+                  WHEN dup_in_batch OR fp IN (SELECT fp FROM afp) THEN 'duplicate'
+             END AS reason1
+      FROM rk
+    ),
+    s1 AS MATERIALIZED (SELECT doc_id FROM r1 WHERE reason1 IS NULL),
+    -- stage 2: MinHash-LSH near-dup (in-batch clusters + store hits)
+    sh AS ({_SHINGLES}),
+    shx AS MATERIALIZED ({_SHINGLE_X}),
+    sigs AS MATERIALIZED (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
+    bands AS MATERIALIZED ({_BANDS}),
+    jac AS MATERIALIZED ({_JACCARD}),
+    inpairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b USING (band_idx, band_key)
+      WHERE a.doc_id < b.doc_id
+        AND a.doc_id IN (SELECT doc_id FROM s1)
+        AND b.doc_id IN (SELECT doc_id FROM s1)
+    ),
+    vpairs AS MATERIALIZED (
+      SELECT p.id1, p.id2 FROM inpairs p JOIN jac j USING (id1, id2)
+      WHERE j.jaccard >= 0.5
+    ),
+    edges AS MATERIALIZED (
+      SELECT id1 AS a, id2 AS b FROM vpairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM vpairs
+    ),
+    walk(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w2.comp FROM walk w2 JOIN edges e ON w2.id = e.a
+    ),
+    cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1),
+    xc AS MATERIALIZED (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+      FROM bands n JOIN bands i USING (band_idx, band_key)
+      WHERE n.doc_id IN (SELECT doc_id FROM s1) AND i.doc_id % 10 <> 7
+    ),
+    ndrop AS (
+      SELECT id AS doc_id FROM cc WHERE id <> comp
+      UNION
+      SELECT DISTINCT c.new_id AS doc_id FROM xc c JOIN jac j
+        ON j.id1 = least(c.new_id, c.index_id)
+       AND j.id2 = greatest(c.new_id, c.index_id)
+      WHERE j.jaccard >= 0.5
+    ),
+    s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+    -- stage 3: semantic dedup of the survivors' embeddings against the
+    -- kept-embedding store (all archive vectors) + in-batch sequential
+    qe AS MATERIALIZED (
+      SELECT vec_id, {_SRP} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ),
+    ne AS MATERIALIZED (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM qe),
+    shits AS (
+      SELECT DISTINCT b.vec_id FROM ne b JOIN ne a
+        ON (b.bucket = a.bucket
+            OR ({_H1.format(x='xor(b.bucket, a.bucket)')}))
+      WHERE b.vec_id IN (SELECT doc_id FROM s2) AND a.vec_id % 10 <> 7
+        AND list_dot_product(b.q, a.q) / sqrt(b.n2 * a.n2) >= 0.35
+    ),
+    elig AS (
+      SELECT vec_id FROM ne
+      WHERE vec_id IN (SELECT doc_id FROM s2)
+        AND vec_id NOT IN (SELECT vec_id FROM shits)
+    ),
+    el AS (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM ne a JOIN ne b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM elig)
+        AND b.vec_id IN (SELECT vec_id FROM elig)
+        AND list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    ),
+    st(it, v, s) AS (
+      SELECT 0, vec_id, 'u' FROM elig
+      UNION ALL
+      SELECT s.it + 1, s.v,
+        CASE WHEN coalesce(a.keptn, 0) > 0 THEN 'd'
+             WHEN coalesce(a.undecn, 0) = 0 THEN 'k'
+             ELSE 'u' END
+      FROM st s
+      LEFT JOIN (
+        SELECT el.hi AS v,
+               sum(CASE WHEN s2x.s = 'k' THEN 1 ELSE 0 END) AS keptn,
+               sum(CASE WHEN s2x.s = 'u' THEN 1 ELSE 0 END) AS undecn
+        FROM el JOIN st s2x ON s2x.v = el.lo
+        GROUP BY el.hi
+      ) a ON a.v = s.v
+      WHERE EXISTS (SELECT 1 FROM st WHERE st.s = 'u')
+    ),
+    semdrop AS (
+      SELECT vec_id AS doc_id FROM shits
+      UNION
+      SELECT v AS doc_id FROM st
+      WHERE it = (SELECT max(it) FROM st) AND s = 'd'
+    ),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+    -- stage 4: ExactSubstr-clean the keepers against the hot-window
+    -- store (archive counts + keeper-batch counts cross the cap)
+    toksall AS MATERIALIZED (
+      SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+      FROM base
+    ),
+    winsall AS MATERIALIZED (
+      SELECT t.doc_id, t.pos,
+             md5(array_to_string(b.w[t.pos : t.pos + 4], ' ')) AS win
+      FROM toksall t JOIN base b USING (doc_id)
+      WHERE t.pos + 4 <= len(b.w)
+    ),
+    acounts AS MATERIALIZED (
+      SELECT win, count(*) AS c FROM winsall
+      WHERE doc_id % 10 <> 7 GROUP BY 1
+    ),
+    kwins AS (
+      SELECT * FROM winsall WHERE doc_id IN (SELECT doc_id FROM s3)
+    ),
+    kcounts AS (SELECT win, count(*) AS c FROM kwins GROUP BY 1),
+    hot AS (
+      SELECT k.win FROM kcounts k LEFT JOIN acounts a USING (win)
+      WHERE k.c + coalesce(a.c, 0) > 2
+    ),
+    covered AS (
+      SELECT DISTINCT d.doc_id, d.pos + r.off AS pos
+      FROM (SELECT w3.doc_id, w3.pos FROM kwins w3 JOIN hot USING (win)) d
+      CROSS JOIN range(0, 5) r(off)
+    ),
+    ktoks AS (
+      SELECT * FROM toksall WHERE doc_id IN (SELECT doc_id FROM s3)
+    ),
+    keptw AS (
+      SELECT t.doc_id, t.pos, t.word
+      FROM ktoks t LEFT JOIN covered c2
+        ON t.doc_id = c2.doc_id AND t.pos = c2.pos
+      WHERE c2.pos IS NULL
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_words FROM ktoks GROUP BY 1),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM keptw GROUP BY 1
+    )
+    SELECT r1.doc_id, r1.quality,
+           CASE WHEN r1.reason1 IS NOT NULL THEN r1.reason1
+                WHEN r1.doc_id IN (SELECT doc_id FROM ndrop) THEN 'near_duplicate'
+                WHEN r1.doc_id IN (SELECT doc_id FROM semdrop) THEN 'semantic_duplicate'
+           END AS reject_reason,
+           CAST(t.n_words AS INT) AS n_words,
+           CAST(t.n_words - coalesce(rb.n_kept, 0) AS INT) AS n_removed,
+           CASE WHEN t.n_words IS NOT NULL
+                THEN coalesce(rb.clean_text, '') END AS clean_text
+    FROM r1
+    LEFT JOIN totals t ON t.doc_id = r1.doc_id
+    LEFT JOIN rebuilt rb ON rb.doc_id = r1.doc_id
+    """
+
+
+@query("curation_tick_pipeline", _TICK_ORACLE)
+def curation_tick_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed incremental tick (streaming/tick.py:curation_tick —
+    r10 verdict missing #3): TODAY'S batch (the ``doc_id % 10 = 7``
+    slice, the incremental-gate convention) through EVERY curation
+    store primed from the archive in one pass — quality gate → Gopher
+    repetition → exact dedup (fingerprint store) → MinHash near-dup
+    (signature store, in-batch clusters + asymmetric store band join) →
+    semantic dedup of the survivors' embeddings (kept-embedding store,
+    SRP-blocked, exact sequential in-batch) → ExactSubstr cleaning of
+    the keepers (hot iff archive + keeper-batch window count crosses
+    the cap).  Reject reasons are FIRST-MATCH in stage order; keepers
+    carry the cleaned text.  Each stage is an already-gated operator
+    (curation_stream_routing, dedup_incremental_ingest,
+    dedup_cluster_resolution_lsh, embedding_semantic_dedup_incremental,
+    dedup_exact_substrings_incremental); this row pins their
+    COMPOSITION — stage wiring, survivor-set threading, reason
+    precedence — against one independent SQL oracle.  The PQ-encode
+    leg of the streaming runner (:func:`~experts_etl_spark.streaming.
+    tick.run_streaming_tick`) is the already-gated
+    ``ann_pq_codes_incremental`` path over the keepers and is pinned by
+    tests/test_streaming_tick.py.
+
+    Store priming (a real deployment state — backfill-primed stores):
+    fingerprints/signatures/windows from ALL archive documents,
+    kept-embeddings = ALL archive vectors; the tick's forward-only
+    contract is with the stores it is handed, so the oracle states
+    exactly that.  The SRP width is the store's pinned parameter
+    (auto_srp_bits of the full corpus count — the _SRP/_BITS macro).
+
+    Scale shape: every stage probe is batch-proportional against its
+    store (md5 hash join, asymmetric band join, SRP bucket join, md5
+    window join) — the composed tick inherits the flat fixed-batch
+    probe exponents measured for the individual stores (SCALE_FIT:
+    substr_incr_probe_fixed_batch exp −0.04,
+    semdedup_incr_probe_fixed_batch ~0)."""
+    from experts_etl_spark.llm.curation import substring_window_store
+    from experts_etl_spark.llm.dedup import signature_shingle_sets
+    from experts_etl_spark.llm.similarity import auto_srp_bits
+    from experts_etl_spark.llm.text import fingerprint
+    from experts_etl_spark.streaming.tick import curation_tick
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    archive = d.filter(F.col("doc_id") % 10 != 7)
+    emb_batch = e.filter(F.col("vec_id") % 10 == 7)
+    arch_emb = e.filter(F.col("vec_id") % 10 != 7).select("vec_id", "embedding")
+    routed, _ = curation_tick(
+        batch,
+        emb_batch,
+        sem_bits=auto_srp_bits(e.count()),
+        kept_fps=archive.select(fingerprint(F.col("text")).alias("fp")),
+        index_signatures=signature_shingle_sets(archive, "text", "doc_id"),
+        window_store=substring_window_store(archive, "text", "doc_id"),
+        kept_embeddings=arch_emb,
+    )
+    return routed
+
+
+# Sampled-corpus SRP recall audit (r10 verdict wrong #2): the bits
+# rule derived over the SAMPLE, exactly as the Spark default does.
+_BITS_S4 = (
+    "(SELECT least(greatest(length(bin(count(*) // 8)), 4), 16) "
+    "FROM embeddings WHERE vec_id % 4 = 0)"
+)
+_SRP_S4 = f"""CAST(list_sum(list_transform(range(1, {_BITS_S4} + 1),
+      i -> CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"""
+
+
+@query(
+    "ann_recall_sampled",
+    f"""
+    WITH s AS (
+      SELECT e.vec_id, {_SRP_S4} AS bucket,
+             list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings e WHERE vec_id % 4 = 0
+    ),
+    n AS (SELECT vec_id, bucket, q, list_dot_product(q, q) AS n2 FROM s),
+    exact AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) DESC,
+                          c.vec_id) AS rank
+        FROM n p JOIN n c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 64
+      ) WHERE rank <= 3
+    ),
+    bapprox AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) DESC,
+                          c.vec_id) AS rank
+        FROM n p JOIN n c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < 64
+      ) WHERE rank <= 3
+    ),
+    bmapprox AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.q, c.q) / sqrt(p.n2 * c.n2) DESC,
+                          c.vec_id) AS rank
+        FROM n p JOIN n c
+          ON (p.bucket = c.bucket
+              OR ({_H1.format(x='xor(p.bucket, c.bucket)')}))
+         AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < 64
+      ) WHERE rank <= 3
+    ),
+    m AS (
+      SELECT 'srp_bucketed' AS method,
+             (SELECT count(*) FROM exact e JOIN bapprox a
+                ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+      UNION ALL
+      SELECT 'srp_multiprobe' AS method,
+             (SELECT count(*) FROM exact e JOIN bmapprox a
+                ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+    )
+    SELECT method, hits, possible,
+           CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+    FROM m
+    """,
+)
+def ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-corpus twin of ``ann_recall``'s SRP arms (r10 verdict
+    wrong #2): the audit's remaining growth term was the SRP multiprobe
+    pair join over the full (saturating) corpus — 83.9s / exp 0.73 at
+    27× — which bounds how often recall can be re-audited at scale.
+    The ``dedup_lsh_recall_sampled`` playbook applied to ANN: restrict
+    the corpus to the deterministic p=1/4 id slice (``vec_id % 4 = 0``;
+    the probe set is its 16 lowest ids, so probes stay in-sample),
+    audit the SAME production operators (``bucketed_ann_topk``, hard +
+    Hamming-1 multiprobe) against brute-force truth WITHIN the sample —
+    an unbiased estimate of in-sample recall whose pair join and truth
+    scan both shrink by ~p, and whose SRP width self-scales from the
+    SAMPLE count exactly as a p-sized production index would (the
+    oracle derives the same rule over the slice, so the estimator's
+    index geometry is hash-proven too).  The EXACT full-corpus audit
+    stays gated as ``ann_recall`` — this row is the re-audit you run
+    daily; that one is the pinned truth twin you run per release.
+    Recall is one integer/integer division — engine-exact."""
+    from experts_etl_spark.llm.similarity import (
+        ann_exact_truth,
+        bucketed_ann_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") % 4 == 0)
+    probes = sample.filter(F.col("vec_id") < 64)
+    exact = ann_exact_truth(
+        sample, "vec_id", "embedding", probe_max=64, k=3,
+        cache_key=sf_dir + "#mod4",
+    )
+    methods = {
+        "srp_bucketed": bucketed_ann_topk(
+            sample, probes, "vec_id", "embedding", 3, probe_hamming=0
+        ),
+        "srp_multiprobe": bucketed_ann_topk(
+            sample, probes, "vec_id", "embedding", 3, probe_hamming=1
+        ),
+    }
+    out = None
+    for name, approx in methods.items():
+        hits = exact.join(
+            approx.select("probe_id", "cand_id"), ["probe_id", "cand_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        possible = exact.agg(F.count(F.lit(1)).alias("possible"))
+        row = hits.crossJoin(possible).select(
+            F.lit(name).alias("method"),
+            "hits",
+            "possible",
+            (F.col("hits").cast("double") / F.col("possible").cast("double")).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

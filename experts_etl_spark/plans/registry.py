@@ -68,13 +68,10 @@ for mod in (reference_queries, llm_queries):
 # sf0.01/sf0.1 sweeps.
 GATE_ORDER = [
     # --- round-4 additions, kept gated --------------------------------
-    "train_val_split",
-    "benchmark_contamination",
     "tfidf_topk_terms",
     "sequence_packing",
     "pii_redaction",
     "repetition_metrics",
-    "domain_mixture_sample",
     "training_corpus_pipeline",  # round-6 LSH-default funnel miner
     "corpus_token_stats",
     "dedup_incremental_ingest",
@@ -144,11 +141,30 @@ GATE_ORDER = [
     # upsert arithmetic unchanged since r2, fresh r9 row),
     # multi_format_dates (F1/F2/P6 parse matrix pinned by
     # tests/test_timestamp_matrix.py every pytest run).
-    "locale_pick",               # rotation: stalest r2 row (P8)
-    "scalar_pack",               # rotation: r2 row (F7 F8 F10)
-    "json_parse_roundtrip",      # rotation: r2 row (S6 F13)
-    "required_fields_gate",      # rotation: r2 row (P4 P5)
-    "type_whitelist",            # rotation: r2 row (P3 P7)
+    # --- round-11 rotation ----------------------------------------------
+    # IN: the three NEW/CHANGED r11 queries (gated on arrival:
+    # curation_tick_pipeline — the composed incremental tick;
+    # ann_recall_sampled — the p=1/4 SRP re-audit; ann_topk_pq_adc —
+    # its body+oracle changed with the self-scaled PQ write knobs and
+    # it was ungated, so it rotates back in) and the five STALEST rows
+    # (r3-vintage driver rows, r10 verdict item 5).  OUT — every
+    # retiree keeps its fresh green r10 row against an UNCHANGED
+    # query+oracle, so the r2-r11 union invariant holds: the five r10
+    # rotation singles (locale_pick, scalar_pack, json_parse_roundtrip,
+    # required_fields_gate, type_whitelist — refreshed r10, operators
+    # P3-P8/F7/F8/F10/S6/F13 unchanged since r2) and three r4-pack
+    # rows refreshed r10 (train_val_split, benchmark_contamination,
+    # domain_mixture_sample — split/contamination/mixture logic also
+    # exercised inside the gated training_corpus_pipeline funnel and
+    # training_dedup_leakage audits).
+    "curation_tick_pipeline",    # NEW r11: composed incremental tick
+    "ann_recall_sampled",        # NEW r11: p=1/4 SRP recall re-audit
+    "ann_topk_pq_adc",           # r11: auto write knobs changed body+oracle
+    "pricing_summary",           # rotation: stalest r3 row (A6)
+    "latest_event_per_user",     # rotation: r3 row (J5 A2/A3)
+    "dedupe_keep_best",          # rotation: r3 row (W9)
+    "reference_entry_selection", # rotation: r3 row (W5 A9)
+    "multiset_except",           # rotation: r3 row (A8 X4)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5

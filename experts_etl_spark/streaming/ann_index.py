@@ -149,3 +149,138 @@ def run_streaming_ivfpq_search(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_pq_ingest_with_rebuild(
+    spark: SparkSession,
+    src: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    recon_ppm_threshold: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int | None = None,
+    code_mod: int | None = None,
+    iters: int = 2,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming PQ ingest with the REBUILD LOOP closed (r10 verdict
+    next #7): every arriving embedding batch encodes against the
+    standing codebooks, its reconstruction drift is measured
+    (:func:`~experts_etl_spark.llm.pq.pq_recon_ppm` — the decision
+    scalar behind the gated ``ann_pq_recon_error`` audit), and a batch
+    whose ppm crosses ``recon_ppm_threshold`` triggers exactly one
+    codebook retrain over the accumulated raw archive plus a full
+    re-encode, swapped in atomically via
+    :func:`~experts_etl_spark.sources.sinks.overwrite_partitions` with
+    an AUDIT HOOK that vetoes the publish unless the re-encoded index
+    is back under the threshold — write-audit-publish, so a failed
+    rebuild leaves the old index fully intact.  This is the FAISS
+    operational model: encode-time never retrains; drift is a rebuild,
+    and the rebuild is transactional.
+
+    Layout under ``index_dir``:
+
+    - ``_books``             standing codebooks (overwritten on rebuild)
+    - ``_embeddings/batch_id=N``  raw-embedding archive (rebuild input)
+    - ``codes/batch_id=N``   the skinny code rows (re-encoded on rebuild)
+    - ``_rebuilds/batch_id=N``    audit log: (batch_id, pre_ppm, post_ppm)
+
+    First tick bootstraps: no standing books → train on the first
+    batch and write them (ppm of a batch against books trained on it
+    is the baseline, no rebuild).
+
+    Replay idempotency (at-least-once ``foreachBatch``): the archive
+    and code sinks overwrite their own ``batch_id`` partition; a
+    replay of a batch whose first attempt triggered a rebuild now
+    measures against the RETRAINED books, lands under the threshold,
+    and re-encodes identically — the rebuild fires once, the books are
+    a fixpoint of the replay (pinned in tests/test_streaming_tick.py).
+    """
+    import os
+
+    from experts_etl_spark.llm.pq import (
+        pq_encode_incremental,
+        pq_recon_ppm,
+        pq_train,
+    )
+    from experts_etl_spark.sources.sinks import overwrite_partitions
+
+    books_dir = os.path.join(index_dir, "_books")
+    arch_dir = os.path.join(index_dir, "_embeddings")
+    codes_dir = os.path.join(index_dir, "codes")
+    audit_dir = os.path.join(index_dir, "_rebuilds")
+
+    schema = spark.read.parquet(src).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+
+    def _exists(spark_b: SparkSession, path: str) -> bool:
+        jvm = spark_b._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark_b._jsc.hadoopConfiguration()).exists(p)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        # raw-embedding archive append (rebuild training input) — own
+        # partition, replay-overwritten
+        (
+            batch.select(id_col, vec_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(arch_dir, f"batch_id={batch_id}"))
+        )
+        if not _exists(spark_b, books_dir):
+            _, books = pq_train(batch, id_col, vec_col, m, code_mod, iters)
+            books.write.mode("overwrite").parquet(books_dir)
+        books = spark_b.read.parquet(books_dir)
+        ppm = pq_recon_ppm(batch, books, id_col, vec_col, m)
+        (
+            pq_encode_incremental(batch, books, id_col, vec_col, m)
+            .write.mode("overwrite")
+            .parquet(os.path.join(codes_dir, f"batch_id={batch_id}"))
+        )
+        if ppm <= recon_ppm_threshold:
+            return
+        # REBUILD: retrain on the full raw archive (this batch
+        # included), re-encode everything, and publish the new code
+        # partitions through write-audit-publish — the audit hook
+        # vetoes unless the retrained index is back under threshold.
+        corpus = spark_b.read.parquet(arch_dir)
+        _, books2 = pq_train(corpus, id_col, vec_col, m, code_mod, iters)
+        books2 = books2.localCheckpoint(eager=True)
+        post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
+
+        def _audit(staged: DataFrame) -> None:
+            if post_ppm > recon_ppm_threshold:
+                raise RuntimeError(
+                    f"PQ rebuild audit: post-rebuild ppm {post_ppm} still "
+                    f"above threshold {recon_ppm_threshold}; publish vetoed"
+                )
+            if staged.select("vec_id").distinct().count() != corpus.count():
+                raise RuntimeError("PQ rebuild audit: re-encode row loss")
+
+        recoded = pq_encode_incremental(
+            corpus.drop("batch_id"), books2, id_col, vec_col, m
+        ).join(corpus.select(id_col, "batch_id"), id_col)
+        overwrite_partitions(recoded, codes_dir, ["batch_id"], audit=_audit)
+        books2.write.mode("overwrite").parquet(books_dir)
+        (
+            spark_b.createDataFrame(
+                [(int(batch_id), int(ppm), int(post_ppm))],
+                "batch_id bigint, pre_ppm bigint, post_ppm bigint",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(audit_dir, f"rebuild_batch={batch_id}"))
+        )
+
+    (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

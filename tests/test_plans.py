@@ -106,6 +106,9 @@ def test_no_cartesian_products_anywhere(spark):
                                  # cross joins (the ann_recall shape)
         "dedup_lsh_recall_sampled_p8",  # template twin of
                                  # dedup_lsh_recall_sampled (1-row aggs)
+        "ann_recall_sampled",    # in-sample brute-force truth (probe set
+                                 # broadcast) + 1-row agg cross joins —
+                                 # the ann_recall shape at p = 1/4
     }
     for name, fn in QUERIES.items():
         plan = plan_of(fn(spark, SF_SMOKE))

@@ -1,0 +1,274 @@
+"""The composed incremental tick (streaming/tick.py) and the PQ
+rebuild loop (streaming/ann_index.py:run_streaming_pq_ingest_with_
+rebuild) — r10 verdict missing #3 / next #7.
+
+Tick tests pin: cross-batch rejections from every store (exact
+fingerprint, MinHash signature, kept-embedding, hot-window), reason
+precedence, the PQ-index append for keepers, and at-least-once replay
+idempotency across ALL sinks at once.
+
+Rebuild tests pin: a drifted batch fires the retrain exactly once,
+the re-encoded index passes the write-audit-publish gate (post ppm
+back under threshold), and a replay leaves books/audit untouched.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from experts_etl_spark.streaming.tick import run_streaming_tick
+
+
+def _land(tmp_path, src_dir, df, name):
+    stage = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    (part,) = glob.glob(str(stage / "*.parquet"))
+    shutil.copy(part, src_dir / f"{name}.parquet")
+
+
+def _doc(doc_id, words):
+    return (doc_id, " ".join(words), "en", "src1")
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+# distinct-word texts: quality = len-term (0.3 at >=400 chars) +
+# no-punct term (0.2) >= 0.5, and no word/bigram repeats to trip the
+# Gopher filter.  ~80 distinct words ≈ 560 chars.
+WORDS_A = [f"alpha{i:03d}" for i in range(80)]
+WORDS_B = [f"bravo{i:03d}" for i in range(80)]
+WORDS_C = [f"charl{i:03d}" for i in range(80)]
+WORDS_D = [f"delta{i:03d}" for i in range(80)]
+PHRASE = ["all", "rights", "reserved", "contact", "us"]
+
+
+def _emb(vec_id, hot_dim, dim=8, base=1.0):
+    v = [0.0] * dim
+    v[hot_dim] = base
+    return (vec_id, v)
+
+
+@pytest.fixture()
+def tick_env(spark, tmp_path):
+    # batch 1: three keepers (A, B, and a phrase-carrier twice so the
+    # 5-gram reaches the cap) + one low-quality reject
+    b1 = spark.createDataFrame(
+        [
+            _doc(0, WORDS_A),
+            _doc(1, WORDS_B),
+            _doc(2, PHRASE + [f"echo{i:03d}" for i in range(75)]),
+            _doc(3, PHRASE + [f"fox{i:03d}" for i in range(75)]),
+            _doc(4, ["junk!!!", "short???"]),
+        ],
+        DOC_SCHEMA,
+    )
+    # batch 2: exact copy of A (fingerprint store), near-copy of B
+    # (signature store), semantic copy of B's embedding (kept-embedding
+    # store), phrase repeat (hot-window store), one fresh keeper
+    near_b = list(WORDS_B)
+    near_b[10], near_b[20], near_b[30] = "xx1", "xx2", "xx3"
+    b2 = spark.createDataFrame(
+        [
+            _doc(10, WORDS_A),
+            _doc(11, near_b),
+            _doc(12, WORDS_C),
+            _doc(13, PHRASE + [f"golf{i:03d}" for i in range(75)]),
+            _doc(14, WORDS_D),
+        ],
+        DOC_SCHEMA,
+    )
+    # embeddings: orthogonal one-hots except doc 12 == doc 1's vector
+    embs = spark.createDataFrame(
+        [
+            _emb(0, 0),
+            _emb(1, 1),
+            _emb(2, 2),
+            _emb(3, 3),
+            _emb(4, 4),
+            _emb(10, 5),
+            _emb(11, 6),
+            (12, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # == vec 1
+            _emb(13, 7),
+            (14, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -1.0]),
+        ],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    emb_dir = tmp_path / "embs"
+    embs.write.parquet(str(emb_dir))
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    # standing PQ codebooks trained on the batch-1 embeddings
+    from experts_etl_spark.llm.pq import pq_train
+
+    books_dir = tmp_path / "books"
+    _, books = pq_train(
+        embs.filter(F.col("vec_id") < 10), "vec_id", "embedding", iters=1
+    )
+    books.write.parquet(str(books_dir))
+
+    return {
+        "b1": b1,
+        "b2": b2,
+        "src": src_dir,
+        "emb": str(emb_dir),
+        "out": str(out_dir),
+        "ckpt": str(ckpt),
+        "books": str(books_dir),
+    }
+
+
+def _run(spark, env):
+    run_streaming_tick(
+        spark,
+        str(env["src"]),
+        env["emb"],
+        env["out"],
+        env["ckpt"],
+        sem_bits=4,
+        books_path=env["books"],
+    )
+
+
+def _reasons(spark, env, batch_id):
+    keep = (
+        spark.read.parquet(env["out"] + "/keep")
+        .filter(F.col("batch_id") == batch_id)
+        .select("doc_id")
+        .collect()
+    )
+    rej = (
+        spark.read.parquet(env["out"] + "/reject")
+        .filter(F.col("batch_id") == batch_id)
+        .select("doc_id", "reject_reason")
+        .collect()
+    )
+    out = {r["doc_id"]: None for r in keep}
+    out.update({r["doc_id"]: r["reject_reason"] for r in rej})
+    return out
+
+
+def test_tick_cross_batch_rejections_from_every_store(spark, tick_env, tmp_path):
+    env = tick_env
+    _land(tmp_path, env["src"], env["b1"], "b1")
+    _run(spark, env)
+    r1 = _reasons(spark, env, 0)
+    assert r1 == {0: None, 1: None, 2: None, 3: None, 4: "low_quality"}
+
+    _land(tmp_path, env["src"], env["b2"], "b2")
+    _run(spark, env)
+    r2 = _reasons(spark, env, 1)
+    assert r2[10] == "duplicate"           # fingerprint store
+    assert r2[11] == "near_duplicate"      # signature store
+    assert r2[12] == "semantic_duplicate"  # kept-embedding store
+    assert r2[13] is None                  # kept, but phrase cut below
+    assert r2[14] is None
+
+    # hot-window store: the 5-gram seen twice in batch-1 keepers is cut
+    # from the batch-2 keeper that repeats it
+    kept2 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(env["out"] + "/keep")
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert kept2[13]["clean_text"].split()[:1] == ["golf000"]
+    assert not any(w in kept2[13]["clean_text"].split() for w in PHRASE)
+    assert all(w in kept2[14]["clean_text"].split() for w in WORDS_D)
+
+    # PQ index: m code rows per kept vector per batch
+    from experts_etl_spark.llm.pq import auto_pq_m
+
+    m = auto_pq_m(8)
+    pq = spark.read.parquet(env["out"] + "/_pq_index")
+    counts = {
+        r["batch_id"]: r["n"]
+        for r in pq.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[0] == 4 * m  # keepers 0,1,2,3
+    assert counts[1] == 2 * m  # keepers 13,14
+
+
+def test_tick_replay_is_idempotent(spark, tick_env, tmp_path):
+    env = tick_env
+    _land(tmp_path, env["src"], env["b1"], "b1")
+    _run(spark, env)
+    _land(tmp_path, env["src"], env["b2"], "b2")
+    _run(spark, env)
+
+    def snapshot():
+        out = {}
+        for sink in ("keep", "reject", "_fingerprints", "_signatures",
+                     "_window_counts", "_kept_embeddings", "_pq_index"):
+            df = spark.read.parquet(f"{env['out']}/{sink}")
+            out[sink] = sorted(map(tuple, df.collect()))
+        return out
+
+    before = snapshot()
+    # at-least-once replay: drain again with no new files — every sink
+    # and store must be byte-stable (probes exclude own partitions, so
+    # no batch self-rejects against its first attempt)
+    _run(spark, env)
+    assert snapshot() == before
+
+
+def test_pq_rebuild_fires_once_and_is_replay_stable(spark, tmp_path):
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+
+    dim = 8
+    # batch 1: tight cluster near the origin; batch 2: a far shifted
+    # cluster the batch-1 codebooks cannot represent (relative recon
+    # error ≈ 1e6 ppm) → rebuild
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], EMB_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, [1000.0 + float(i % 3)] * dim) for i in range(24)],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(recon_ppm_threshold=200000)
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    # bootstrap tick: books trained on batch 1, no rebuild
+    assert not glob.glob(idx + "/_rebuilds/*")
+    books1 = sorted(map(tuple, spark.read.parquet(idx + "/_books").collect()))
+
+    _land(tmp_path, src_dir, b2, "b2")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    audit = spark.read.parquet(idx + "/_rebuilds").collect()
+    assert len(audit) == 1
+    assert audit[0]["pre_ppm"] > 200000
+    assert audit[0]["post_ppm"] <= 200000
+    books2 = sorted(map(tuple, spark.read.parquet(idx + "/_books").collect()))
+    assert books2 != books1  # retrained
+    # every archived vector re-encoded under the new books
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.select("vec_id").distinct().count() == 48
+
+    # replay: the retrained books are a fixpoint — batch 2 now measures
+    # under threshold, no second rebuild, books byte-stable
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    assert len(spark.read.parquet(idx + "/_rebuilds").collect()) == 1
+    books3 = sorted(map(tuple, spark.read.parquet(idx + "/_books").collect()))
+    assert books3 == books2
+
+    # and the post-rebuild drift really is back under threshold
+    from experts_etl_spark.llm.pq import pq_recon_ppm
+
+    corpus = spark.read.parquet(idx + "/_embeddings").drop("batch_id")
+    books = spark.read.parquet(idx + "/_books")
+    assert pq_recon_ppm(corpus, books, "vec_id", "embedding") <= 200000

@@ -107,11 +107,22 @@ def main() -> None:
     # deployment-pinned SRP width: sized for the largest corpus
     bits = auto_srp_bits(args.vecs1 * mults[-1])
 
+    from experts_etl_spark.llm.dedup import (
+        incremental_lsh_dedup,
+        signature_shingle_sets,
+    )
+
+    batch_sigs = signature_shingle_sets(
+        doc_batch, "text", "doc_id"
+    ).localCheckpoint()
+
     rows: dict[str, dict] = {
         "substr_incr_store_build": {},
         "substr_incr_probe_fixed_batch": {},
         "semdedup_incr_store_build": {},
         "semdedup_incr_probe_fixed_batch": {},
+        "lsh_incr_store_build": {},
+        "lsh_incr_probe_fixed_batch": {},
     }
     for mult in mults:
         d = f"{root}/x{mult}"
@@ -182,11 +193,44 @@ def main() -> None:
             min(pt), 3
         )
 
+        # --- LSH near-dup family (r10 verdict missing #2: the ingest
+        # paths are the 100 TB story; this is the third of the three
+        # store probes, the asymmetric band join of
+        # dedup_incremental_ingest) --------------------------------------
+        def lsh_build():
+            return signature_shingle_sets(
+                docs, "text", "doc_id"
+            ).localCheckpoint()
+
+        lsh_build()  # warm
+        bt, sig_store = [], None
+        for _ in range(3):
+            t0 = time.time()
+            sig_store = lsh_build()
+            bt.append(time.time() - t0)
+        rows["lsh_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+
+        def lsh_probe():
+            incremental_lsh_dedup(
+                None, None, "text", "doc_id", 0.5,
+                index_signatures=sig_store, new_signatures=batch_sigs,
+            ).count()
+
+        lsh_probe()  # warm
+        pt = []
+        for _ in range(3):
+            t0 = time.time()
+            lsh_probe()
+            pt.append(time.time() - t0)
+        rows["lsh_incr_probe_fixed_batch"][f"t{mult}x"] = round(min(pt), 3)
+
         print(
             f"x{mult}: substr build={rows['substr_incr_store_build'][f't{mult}x']:.2f}s "
             f"probe={rows['substr_incr_probe_fixed_batch'][f't{mult}x']:.2f}s | "
             f"sem build={rows['semdedup_incr_store_build'][f't{mult}x']:.2f}s "
-            f"probe={rows['semdedup_incr_probe_fixed_batch'][f't{mult}x']:.2f}s"
+            f"probe={rows['semdedup_incr_probe_fixed_batch'][f't{mult}x']:.2f}s | "
+            f"lsh build={rows['lsh_incr_store_build'][f't{mult}x']:.2f}s "
+            f"probe={rows['lsh_incr_probe_fixed_batch'][f't{mult}x']:.2f}s"
         )
         spark.catalog.clearCache()
         import gc

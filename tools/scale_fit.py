@@ -77,6 +77,9 @@ PACK = [
     "ann_topk_pq_adc",
     "ann_topk_ivfpq",
     "embedding_semantic_dedup",
+    # round-11 additions
+    "curation_tick_pipeline",
+    "ann_recall_sampled",
 ]
 
 
