@@ -112,6 +112,19 @@ def auto_code_mod(n_rows: int, k: int | None = None) -> int:
     return max(2, n_rows // k)
 
 
+def auto_pq_train_mod(n_rows: int, per_code: int = 16) -> int:
+    """Training-sample stride for the PQ Lloyd loop: keep
+    ~``per_code`` training vectors per codeword (k = :func:`auto_pq_k`)
+    — the PQ twin of :func:`~experts_etl_spark.llm.similarity.auto_train_mod`.
+    Since k caps at 256, the sample caps at ~4096 vectors regardless of
+    corpus size, so sampled training is O(sample) = O(1) in the corpus
+    while the per-codeword training density stays exactly the
+    :func:`auto_pq_k` design point (16·k vectors → auto_pq_k(16·k) = k:
+    the rule is self-consistent under its own sampling).  Integer-exact:
+    ``max(1, n // (per_code · auto_pq_k(n)))``."""
+    return max(1, n_rows // (per_code * auto_pq_k(n_rows)))
+
+
 def _resolve_m(emb: DataFrame, vec_col: str, m: int | None) -> int:
     """``m=None`` self-scales from the corpus dimension — one
     single-row head read (the dimension is constant per corpus), the
@@ -215,6 +228,7 @@ def pq_train(
     m: int | None = None,
     code_mod: int | None = None,
     iters: int = 2,
+    train_mod: int | str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks; returns (subvector corpus,
     codebooks (sub_id, code_id, cq, cn2)).
@@ -230,17 +244,41 @@ def pq_train(
     sequential ones.  Centroid update floors onto the integer grid
     (exact SQL twin, same as similarity._kmeans_train).  Duplicate
     seeds lose all members to the lower code_id on the first
-    assignment and drop out; both engines agree."""
+    assignment and drop out; both engines agree.
+
+    ``train_mod`` samples the Lloyd TRAINING set at a vec_id stride,
+    exactly like ``similarity._kmeans_train``: ``"auto"`` derives
+    :func:`auto_pq_train_mod` (~16·k training vectors — bounded at
+    ~4096 by the k=256 cap, so training is O(1) in the corpus);
+    ``"full"`` pins full-corpus training (the gated-oracle contract);
+    ``None`` self-selects — sampled past
+    :data:`~experts_etl_spark.llm.similarity.TRAIN_AUTO_MIN` rows,
+    full below it.  Seed vectors are always unioned into the sample so
+    every codeword keeps its self-assigning seed and no codeword
+    empties out on the first round.  The FINAL encode (the returned
+    subvector corpus) always covers the full corpus."""
+    from experts_etl_spark.llm.similarity import TRAIN_AUTO_MIN
+
     m = _resolve_m(emb, vec_col, m)
+    need_count = code_mod is None or train_mod in ("auto", None)
+    n_rows = emb.count() if need_count else 0
     if code_mod is None:
-        code_mod = auto_code_mod(emb.count())
+        code_mod = auto_code_mod(n_rows)
+    if train_mod == "auto" or (train_mod is None and n_rows > TRAIN_AUTO_MIN):
+        train_mod = auto_pq_train_mod(n_rows)
+    elif train_mod in (None, "full"):
+        train_mod = 1
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
         F.col("_n2").alias("n2"),
     )
     subs = _subvectors(n, m).localCheckpoint(eager=False)
-    return subs, _train_books(subs, code_mod, iters)
+    train_subs = subs if train_mod == 1 else subs.filter(
+        (F.col("vec_id") % train_mod == 0)
+        | (F.col("vec_id") % code_mod == 0)
+    )
+    return subs, _train_books(train_subs, code_mod, iters)
 
 
 def _train_books(

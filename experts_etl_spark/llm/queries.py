@@ -1152,9 +1152,10 @@ def _pq_iter_sql(cprev: str, k: int, src: str = "subs", tag: str = "p") -> str:
                ORDER BY c.cn2 - 2 * list_dot_product(s.sq, c.cq) ASC,
                         c.code_id) AS rn
       FROM {src} s JOIN {cprev} c ON s.sub_id = c.sub_id) WHERE rn = 1),
-    {tag}s{k} AS (SELECT sub_id, code_id, i, sum(sq[i]) AS s, count(*) AS cnt
-              FROM {tag}a{k} CROSS JOIN range(1, 129) t(i)
-              WHERE i <= len(sq) GROUP BY 1, 2, 3),
+    {tag}s{k} AS (SELECT sub_id, code_id, i, sum(v) AS s, count(*) AS cnt
+              FROM (SELECT sub_id, code_id, unnest(sq) AS v,
+                           generate_subscripts(sq, 1) AS i FROM {tag}a{k})
+              GROUP BY 1, 2, 3),
     {tag}c{k} AS (SELECT sub_id, code_id, cq, list_dot_product(cq, cq) AS cn2 FROM (
       SELECT sub_id, code_id, list(m ORDER BY i) AS cq FROM (
         SELECT sub_id, code_id, i, floor(s / cnt) AS m FROM {tag}s{k}) GROUP BY 1, 2))"""
@@ -1203,8 +1204,10 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of d floats (~50× smaller at d=64, ~200× at d=768).  L2
     assignment is argmin(||c||² − 2·x·c) in exact integer arithmetic,
     so the whole train+encode pipeline is hash-pinned against the SQL
-    twin; the Spark path is dimension-generic while the oracle
-    hardcodes the 64-dim layout."""
+    twin; BOTH paths are dimension-generic (the oracle's centroid
+    update unnests sq with generate_subscripts, so dsub > 128 — e.g.
+    d=3072, m=16 — stays exact: r11 ADVICE, pinned by
+    tests/test_pq.py::test_pq_oracle_parity_dsub_gt_128)."""
     from experts_etl_spark.llm.pq import pq_encode
 
     e = read_table(spark, sf_dir, "embeddings")

@@ -141,22 +141,30 @@ _TRUTH_CACHE: dict = {}
 
 def _dir_fingerprint(path: str) -> tuple:
     """Cheap filesystem fingerprint of a corpus dir: sorted
-    (name, size, mtime_ns) of its entries.  Regenerating the dir
-    in-place changes the fingerprint, so the truth cache misses
-    instead of serving stale rows.  Non-local paths (s3://, hdfs://)
-    and missing dirs fingerprint as the path string itself — the
-    caller-provided key remains the only discriminator there."""
+    (relpath, size, mtime_ns) of every regular file under it,
+    RECURSIVELY — Spark-written datasets and hive-partitioned layouts
+    keep their parquet in subdirectories, and a top-level-only scan
+    would fingerprint those as an empty tuple that never changes
+    (r11 ADVICE).  Regenerating the dir in-place changes the
+    fingerprint, so the truth cache misses instead of serving stale
+    rows.  Non-local paths (s3://, hdfs://), missing dirs, and dirs
+    with no regular files at all fall back to the path string itself
+    — the caller-provided key remains the only discriminator there,
+    and the limitation is explicit in the key."""
     import os
 
     try:
-        with os.scandir(path) as it:
-            return tuple(
-                sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in it
-                    if e.is_file()
+        entries = []
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            for name in files:
+                st = os.stat(os.path.join(root, name))
+                entries.append(
+                    (os.path.join(rel, name), st.st_size, st.st_mtime_ns)
                 )
-            )
+        if not entries:
+            return (path,)
+        return tuple(sorted(entries))
     except OSError:
         return (path,)
 
@@ -461,7 +469,17 @@ def bucketed_cross_hits(
     store's pinned index width, not a per-batch derivation — two
     sides blocked at different widths see different candidate sets.
     Per-batch cost is the batch's bucket fan-out joined against the
-    store's bucket index, never a store self-join."""
+    store's bucket index, never a store self-join.
+
+    A store carrying a precomputed ``bucket`` column (the persisted
+    SRP index the streaming kept-embedding store maintains — see
+    streaming/semantic.py) is joined on it directly: the archive-wide
+    quantize+bucket recompute disappears from the per-tick plan, and
+    the store side quantizes only the rows that SURVIVE the bucket
+    join (≈ batch·(bits+1)·occupancy rows — batch-proportional once
+    occupancy is bounded by the store's re-bucket trigger).  The
+    column MUST have been computed as ``srp_bucket(vec, bits)`` at the
+    SAME width — the store meta's contract."""
     bq = with_quantized(batch, vec_col).select(
         F.col(id_col), F.col("_q"), F.col("_n2"),
         F.explode(
@@ -470,6 +488,30 @@ def bucketed_cross_hits(
             )
         ).alias("bucket"),
     )
+    if "bucket" in store.columns:
+        matched = bq.join(
+            store.select(
+                F.col(id_col).alias("_sid"),
+                F.col(vec_col).alias("_svec"),
+                "bucket",
+            ),
+            "bucket",
+        )
+        sq_post = quantize(F.col("_svec"))
+        return (
+            matched.withColumn("_sq", sq_post)
+            .withColumn("_sn2", dot(F.col("_sq"), F.col("_sq")))
+            .filter(
+                cosine(
+                    dot(F.col("_q"), F.col("_sq")),
+                    F.col("_n2"),
+                    F.col("_sn2"),
+                )
+                >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
     sq = with_quantized(store, vec_col).select(
         F.col(id_col).alias("_sid"),
         F.col("_q").alias("_sq"),

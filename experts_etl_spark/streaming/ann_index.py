@@ -151,6 +151,90 @@ def run_streaming_ivfpq_search(
     )
 
 
+def maybe_rebuild_pq_index(
+    spark: SparkSession,
+    *,
+    arch_dir: str,
+    codes_dir: str,
+    books_dir: str,
+    audit_dir: str,
+    batch_id: int,
+    pre_ppm: int,
+    recon_ppm_threshold: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int | None = None,
+    code_mod: int | None = None,
+    iters: int = 2,
+) -> None:
+    """One transactional PQ index rebuild (the drift branch of
+    :func:`run_streaming_pq_ingest_with_rebuild`, shared with the
+    composed curation tick): retrain codebooks on the raw archive's
+    ``train_mod="auto"`` sample (~16·k vectors — the measured
+    TRAIN_AUTO_MIN lesson; the k=256 cap bounds the sample at ~4096,
+    so training is O(1) in the archive while the re-encode stays the
+    unavoidable linear term), re-encode everything, and publish the
+    new code partitions through write-audit-publish — the audit hook
+    vetoes unless the FULL-CORPUS ``pq_recon_ppm`` is back under
+    threshold and every archived id re-encoded, so sampled training
+    carries zero quality risk.  The archive is compacted
+    latest-batch-wins on ``id_col`` first: a re-arrived id is a
+    correction, and fanning it out to two code rows would
+    double-count it in the index."""
+    import os
+
+    from pyspark.sql import Window
+
+    from experts_etl_spark.llm.pq import (
+        pq_encode_incremental,
+        pq_recon_ppm,
+        pq_train,
+    )
+    from experts_etl_spark.sources.sinks import overwrite_partitions
+
+    raw = spark.read.parquet(arch_dir)
+    w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+    corpus = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    n_ids = corpus.count()
+    _, books2 = pq_train(
+        corpus, id_col, vec_col, m, code_mod, iters, train_mod="auto"
+    )
+    books2 = books2.localCheckpoint(eager=True)
+    post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
+
+    def _audit(staged: DataFrame) -> None:
+        if post_ppm > recon_ppm_threshold:
+            raise RuntimeError(
+                f"PQ rebuild audit: post-rebuild ppm {post_ppm} still "
+                f"above threshold {recon_ppm_threshold}; publish vetoed"
+            )
+        # the code schema's id column is always the canonical "vec_id"
+        # (pq_encode_incremental aliases id_col to it)
+        if staged.select("vec_id").distinct().count() != n_ids:
+            raise RuntimeError("PQ rebuild audit: re-encode row loss")
+
+    recoded = pq_encode_incremental(
+        corpus.drop("batch_id"), books2, id_col, vec_col, m
+    ).join(
+        corpus.select(F.col(id_col).alias("vec_id"), "batch_id"), "vec_id"
+    )
+    overwrite_partitions(recoded, codes_dir, ["batch_id"], audit=_audit)
+    books2.write.mode("overwrite").parquet(books_dir)
+    (
+        spark.createDataFrame(
+            [(int(batch_id), int(pre_ppm), int(post_ppm))],
+            "batch_id bigint, pre_ppm bigint, post_ppm bigint",
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(audit_dir, f"rebuild_batch={batch_id}"))
+    )
+
+
 def run_streaming_pq_ingest_with_rebuild(
     spark: SparkSession,
     src: str,
@@ -188,8 +272,26 @@ def run_streaming_pq_ingest_with_rebuild(
     - ``_rebuilds/batch_id=N``    audit log: (batch_id, pre_ppm, post_ppm)
 
     First tick bootstraps: no standing books → train on the first
-    batch and write them (ppm of a batch against books trained on it
-    is the baseline, no rebuild).
+    batch and write them, then SKIP the drift check entirely — the
+    batch's ppm against books trained on itself is the intrinsic PQ
+    quantization error, not drift, so a threshold below that intrinsic
+    error must not fire a futile same-data rebuild (whose post-audit
+    would veto and wedge the stream on every replay).  Replays of the
+    bootstrap batch are likewise exempt: the check only arms once a
+    LATER batch id arrives (``_bootstrap_batch`` marker under
+    ``_books``).
+
+    Rebuild training runs on the ``train_mod="auto"`` √n-style sample
+    (:func:`~experts_etl_spark.llm.pq.auto_pq_train_mod`: ~16·k
+    vectors, bounded at ~4096 by the k=256 cap) — the measured
+    TRAIN_AUTO_MIN lesson (full Lloyd 152s vs 11.2s sampled) — while
+    the full-corpus ``pq_recon_ppm`` post-audit stays the quality
+    veto, so sampling carries zero recall risk.
+
+    Cross-batch duplicate ids: the archive is compacted latest-batch-
+    wins (per-id max batch_id) before retrain and re-encode — a
+    re-arrived id is a correction, and fanning it out to two code rows
+    would double-count it in the index.
 
     Replay idempotency (at-least-once ``foreachBatch``): the archive
     and code sinks overwrite their own ``batch_id`` partition; a
@@ -223,6 +325,8 @@ def run_streaming_pq_ingest_with_rebuild(
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(spark_b._jsc.hadoopConfiguration()).exists(p)
 
+    boot_marker = os.path.join(index_dir, "_bootstrap_batch")
+
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
@@ -233,48 +337,44 @@ def run_streaming_pq_ingest_with_rebuild(
             .write.mode("overwrite")
             .parquet(os.path.join(arch_dir, f"batch_id={batch_id}"))
         )
-        if not _exists(spark_b, books_dir):
-            _, books = pq_train(batch, id_col, vec_col, m, code_mod, iters)
+        bootstrap = not _exists(spark_b, books_dir)
+        if bootstrap:
+            _, books = pq_train(
+                batch, id_col, vec_col, m, code_mod, iters, train_mod="auto"
+            )
             books.write.mode("overwrite").parquet(books_dir)
+            spark_b.createDataFrame(
+                [(int(batch_id),)], "batch_id bigint"
+            ).write.mode("overwrite").parquet(boot_marker)
         books = spark_b.read.parquet(books_dir)
-        ppm = pq_recon_ppm(batch, books, id_col, vec_col, m)
         (
             pq_encode_incremental(batch, books, id_col, vec_col, m)
             .write.mode("overwrite")
             .parquet(os.path.join(codes_dir, f"batch_id={batch_id}"))
         )
+        if bootstrap:
+            return  # intrinsic quantization error is not drift
+        if _exists(spark_b, boot_marker):  # absent on pre-marker indexes
+            boot_row = spark_b.read.parquet(boot_marker).first()
+            if boot_row is not None and int(boot_row["batch_id"]) == batch_id:
+                return  # at-least-once replay of the bootstrap tick
+        ppm = pq_recon_ppm(batch, books, id_col, vec_col, m)
         if ppm <= recon_ppm_threshold:
             return
-        # REBUILD: retrain on the full raw archive (this batch
-        # included), re-encode everything, and publish the new code
-        # partitions through write-audit-publish — the audit hook
-        # vetoes unless the retrained index is back under threshold.
-        corpus = spark_b.read.parquet(arch_dir)
-        _, books2 = pq_train(corpus, id_col, vec_col, m, code_mod, iters)
-        books2 = books2.localCheckpoint(eager=True)
-        post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
-
-        def _audit(staged: DataFrame) -> None:
-            if post_ppm > recon_ppm_threshold:
-                raise RuntimeError(
-                    f"PQ rebuild audit: post-rebuild ppm {post_ppm} still "
-                    f"above threshold {recon_ppm_threshold}; publish vetoed"
-                )
-            if staged.select("vec_id").distinct().count() != corpus.count():
-                raise RuntimeError("PQ rebuild audit: re-encode row loss")
-
-        recoded = pq_encode_incremental(
-            corpus.drop("batch_id"), books2, id_col, vec_col, m
-        ).join(corpus.select(id_col, "batch_id"), id_col)
-        overwrite_partitions(recoded, codes_dir, ["batch_id"], audit=_audit)
-        books2.write.mode("overwrite").parquet(books_dir)
-        (
-            spark_b.createDataFrame(
-                [(int(batch_id), int(ppm), int(post_ppm))],
-                "batch_id bigint, pre_ppm bigint, post_ppm bigint",
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(audit_dir, f"rebuild_batch={batch_id}"))
+        maybe_rebuild_pq_index(
+            spark_b,
+            arch_dir=arch_dir,
+            codes_dir=codes_dir,
+            books_dir=books_dir,
+            audit_dir=audit_dir,
+            batch_id=batch_id,
+            pre_ppm=ppm,
+            recon_ppm_threshold=recon_ppm_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=m,
+            code_mod=code_mod,
+            iters=iters,
         )
 
     (

@@ -471,3 +471,90 @@ def test_auto_m_default_flows_through_encode(spark):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_pq_oracle_parity_dsub_gt_128(spark, tmp_path):
+    """The ann_pq_codes oracle is dimension-generic past dsub=128
+    (r11 ADVICE: the old centroid-update CTE cross-joined
+    range(1, 129), silently truncating subspaces wider than 128 dims).
+    d=3072 → auto_pq_m gives m=16, dsub=192: train+encode must still
+    hash-match the SQL twin exactly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from experts_etl_spark.llm.pq import auto_pq_m, pq_encode
+    from experts_etl_spark.plans.registry import ORACLES
+
+    d, n = 3072, 40
+    assert auto_pq_m(d) == 16 and d // auto_pq_m(d) > 128
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [
+                rng.integers(-97, 97, d).astype(np.float32) / 97.0
+                for _ in range(n)
+            ],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+
+    e = spark.read.parquet(path)
+    got = pq_encode(e, "vec_id", "embedding", iters=2)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    from tests.oracle_utils import compare_spark_duckdb
+
+    compare_spark_duckdb(got, con, ORACLES["ann_pq_codes"])
+    con.close()
+
+
+def test_auto_pq_train_mod_rule():
+    """Sampled-PQ-training stride: ~16·k training vectors, bounded at
+    ~4096 by the k=256 cap — O(1) in the corpus — and self-consistent
+    (auto_pq_k over its own sample reproduces k)."""
+    from experts_etl_spark.llm.pq import auto_pq_k, auto_pq_train_mod
+
+    assert auto_pq_train_mod(100) == 1          # degenerates to full
+    assert auto_pq_train_mod(10000) == 2
+    assert auto_pq_train_mod(10**6) == 10**6 // 4096
+    assert auto_pq_train_mod(10**9) == 10**9 // 4096
+    for n in (10**4, 10**6, 10**9):
+        sample = n // auto_pq_train_mod(n)
+        assert 4096 <= sample <= 8192           # ~16·k, k capped at 256
+        assert auto_pq_k(sample) == auto_pq_k(n) == 256
+
+
+def test_pq_train_sampled_keeps_seeds_and_quality(spark):
+    """train_mod="auto" at a stride > 1: every codeword keeps its
+    self-assigning seed (no subspace collapses) and the sampled-trained
+    books reconstruct the FULL corpus about as well as full training —
+    the quality check the rebuild loop's post-audit enforces at scale."""
+    from experts_etl_spark.llm.pq import (
+        auto_pq_train_mod,
+        pq_recon_ppm,
+        pq_train,
+    )
+
+    n = 10000
+    assert auto_pq_train_mod(n) == 2
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (j + 3)) % 101 / 101.0).cast("float")
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    _, full = pq_train(e, "vec_id", "embedding", iters=1, train_mod="full")
+    _, samp = pq_train(e, "vec_id", "embedding", iters=1, train_mod="auto")
+    per_sub = samp.groupBy("sub_id").count().collect()
+    assert all(r["count"] > 1 for r in per_sub)
+    ppm_full = pq_recon_ppm(e, full, "vec_id", "embedding")
+    ppm_samp = pq_recon_ppm(e, samp, "vec_id", "embedding")
+    # sampled training reconstructs within 2x of the full-Lloyd error
+    assert ppm_samp <= max(2 * ppm_full, 1000), (ppm_full, ppm_samp)

