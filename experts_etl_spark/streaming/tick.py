@@ -155,6 +155,7 @@ def run_streaming_tick(
     sem_bits: int = 8,
     books_path: str | None = None,
     pq_m: int | None = None,
+    pq_recon_ppm_threshold: int | None = None,
     window_words: int = 5,
     max_sf: int = 2,
     max_files_per_trigger: int | None = None,
@@ -170,8 +171,23 @@ def run_streaming_tick(
     - ``_window_counts/batch_id=N``    keepers' (win, sf) counts
     - ``_kept_embeddings/batch_id=N``  keepers' embeddings
     - ``_pq_index/batch_id=N``         keepers' PQ code rows (when
-      ``books_path`` is given — standing codebooks; drift past the
-      recon-error threshold is a rebuild, see streaming/ann_index.py)
+      ``books_path`` is given — standing codebooks)
+    - ``_pq_rebuilds/rebuild_batch=N`` audit log of PQ index rebuilds
+      (when ``pq_recon_ppm_threshold`` is set)
+
+    With ``pq_recon_ppm_threshold`` set, the tick's PQ leg is
+    SELF-MAINTAINING (r11 verdict next #8): after encoding the batch's
+    keepers against the standing books, their reconstruction drift
+    (``pq_recon_ppm``) is measured, and a batch past the threshold
+    fires :func:`~experts_etl_spark.streaming.ann_index.
+    maybe_rebuild_pq_index` — sampled retrain over the kept-embedding
+    archive, full re-encode of every ``_pq_index`` partition, and a
+    write-audit-publish swap vetoed unless the full-corpus ppm is back
+    under threshold.  A replay of the drifting batch encodes against
+    the RETRAINED books, measures under threshold, and fires nothing —
+    the rebuild is a fixpoint of the replay, same as the standalone
+    ingest loop.  ``books_path`` must point at standing codebooks
+    (the tick's contract); there is no bootstrap leg here.
 
     ``emb_src`` is the upstream embedding table keyed by doc id
     (vec_id == doc_id); the per-tick lookup joins the BATCH ids
@@ -302,6 +318,29 @@ def run_streaming_tick(
                     .write.mode("overwrite")
                     .parquet(os.path.join(dirs["pq"], f"batch_id={batch_id}"))
                 )
+                if pq_recon_ppm_threshold is not None:
+                    from experts_etl_spark.llm.pq import pq_recon_ppm
+                    from experts_etl_spark.streaming.ann_index import (
+                        maybe_rebuild_pq_index,
+                    )
+
+                    ppm = pq_recon_ppm(
+                        kept_embs, books, "vec_id", "embedding", pq_m
+                    )
+                    if ppm > pq_recon_ppm_threshold:
+                        maybe_rebuild_pq_index(
+                            spark_b,
+                            arch_dir=dirs["emb"],
+                            codes_dir=dirs["pq"],
+                            books_dir=books_path,
+                            audit_dir=os.path.join(out_dir, "_pq_rebuilds"),
+                            batch_id=batch_id,
+                            pre_ppm=ppm,
+                            recon_ppm_threshold=pq_recon_ppm_threshold,
+                            id_col="vec_id",
+                            vec_col="embedding",
+                            m=pq_m,
+                        )
 
     (
         stream.writeStream.foreachBatch(tick)

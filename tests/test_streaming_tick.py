@@ -362,3 +362,106 @@ def test_pq_rebuild_compacts_cross_batch_duplicate_ids(spark, tmp_path):
         codes.filter(F.col("vec_id") == 12).select("batch_id").distinct()
         .collect()[0][0] == 1
     )
+
+
+def test_tick_pq_leg_rebuilds_on_drift_and_replays_stable(spark, tmp_path):
+    """r11 verdict next #8: the composed tick's PQ leg consults the
+    drift trigger — a drifting batch inside the tick fires exactly one
+    transactional rebuild (sampled retrain over the kept-embedding
+    archive, full _pq_index re-encode, audit-gated publish to
+    books_path), and a re-drain leaves everything byte-stable."""
+
+    def _words(tag):
+        return [f"{tag}{i:03d}" for i in range(80)]
+
+    b1 = spark.createDataFrame(
+        [_doc(i, _words(f"one{i}")) for i in range(6)], DOC_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [_doc(20 + i, _words(f"two{i}")) for i in range(6)], DOC_SCHEMA
+    )
+    dim = 8
+    # batch-1 embeddings: 3 tight constants the books represent exactly;
+    # batch-2: a far-shifted triple they cannot (recon ppm ~1e6)
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3) + 1.0] * dim) for i in range(6)]
+        + [(20 + i, [1000.0 + float((20 + i) % 3)] * dim) for i in range(6)],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    emb_dir = tmp_path / "embs"
+    embs.write.parquet(str(emb_dir))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    from experts_etl_spark.llm.pq import pq_encode_incremental, pq_train
+
+    books_dir = str(tmp_path / "books")
+    _, books = pq_train(
+        embs.filter(F.col("vec_id") < 6), "vec_id", "embedding", iters=1
+    )
+    books.write.parquet(books_dir)
+    books0 = sorted(map(tuple, spark.read.parquet(books_dir).collect()))
+
+    def _tick():
+        run_streaming_tick(
+            spark,
+            str(src_dir),
+            str(emb_dir),
+            out,
+            ckpt,
+            sem_threshold=1.5,  # inert: this test pins the PQ leg
+            books_path=books_dir,
+            pq_recon_ppm_threshold=200000,
+        )
+
+    _land(tmp_path, src_dir, b1, "b1")
+    _tick()
+    assert not glob.glob(out + "/_pq_rebuilds/*")  # no drift on batch 1
+
+    _land(tmp_path, src_dir, b2, "b2")
+    _tick()
+    audit = spark.read.parquet(out + "/_pq_rebuilds").collect()
+    assert len(audit) == 1
+    assert audit[0]["pre_ppm"] > 200000
+    assert audit[0]["post_ppm"] <= 200000
+    books1 = sorted(map(tuple, spark.read.parquet(books_dir).collect()))
+    assert books1 != books0  # retrained and published to books_path
+
+    # every keeper re-encoded under the retrained books — batch-0
+    # partitions included (the rebuild rewrites the whole index)
+    pq = spark.read.parquet(out + "/_pq_index")
+    assert pq.select("vec_id").distinct().count() == 12
+    want0 = sorted(
+        map(
+            tuple,
+            pq_encode_incremental(
+                embs.filter(F.col("vec_id") < 6),
+                spark.read.parquet(books_dir),
+                "vec_id",
+                "embedding",
+            ).collect(),
+        )
+    )
+    got0 = sorted(
+        map(
+            tuple,
+            pq.filter(F.col("batch_id") == 0)
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    assert got0 == want0
+
+    # re-drain: no new files — one rebuild total, books byte-stable,
+    # index byte-stable
+    before = sorted(map(tuple, pq.collect()))
+    _tick()
+    assert len(spark.read.parquet(out + "/_pq_rebuilds").collect()) == 1
+    assert sorted(
+        map(tuple, spark.read.parquet(books_dir).collect())
+    ) == books1
+    assert sorted(
+        map(tuple, spark.read.parquet(out + "/_pq_index").collect())
+    ) == before
