@@ -160,11 +160,27 @@ GATE_ORDER = [
     "curation_tick_pipeline",    # NEW r11: composed incremental tick
     "ann_recall_sampled",        # NEW r11: p=1/4 SRP recall re-audit
     "ann_topk_pq_adc",           # r11: auto write knobs changed body+oracle
-    "pricing_summary",           # rotation: stalest r3 row (A6)
-    "latest_event_per_user",     # rotation: r3 row (J5 A2/A3)
-    "dedupe_keep_best",          # rotation: r3 row (W9)
-    "reference_entry_selection", # rotation: r3 row (W5 A9)
-    "multiset_except",           # rotation: r3 row (A8 X4)
+    # --- round-12 rotation ----------------------------------------------
+    # IN: five of the thirteen r3-vintage rows (r11 verdict item 5).
+    # embedding_near_dup is deliberately among them: bucketed_cross_hits
+    # grew a precomputed-bucket arm this round, so the SRP-blocked pair
+    # stage earns a fresh driver row alongside the two gated SemDeDup
+    # composites that exercise the changed helper directly
+    # (embedding_semantic_dedup_incremental, curation_tick_pipeline —
+    # both still in-window).  The six PQ-oracle queries whose SQL
+    # changed this round (generate_subscripts centroid update, r11
+    # ADVICE) were already all in-window: ann_pq_codes,
+    # ann_pq_recon_error, ann_topk_pq_adc, ann_topk_ivfpq,
+    # ann_topk_ivfpq_refined, ann_recall_pq.  OUT — the five r11
+    # rotation singles (pricing_summary, latest_event_per_user,
+    # dedupe_keep_best, reference_entry_selection, multiset_except):
+    # each keeps its fresh green r11 row against an UNCHANGED
+    # query+oracle, so the r2-r12 union invariant holds.
+    "embedding_near_dup",        # rotation: r3/r4 row (SRP pair stage)
+    "identity_assembly",         # rotation: r3 row (F4 F5 F6)
+    "state_fanout_pivot",        # rotation: r3 row (F12)
+    "snapshot_delta",            # rotation: r3 row (X1 X2)
+    "pure_user_sync_xml",        # rotation: r3-vintage (S7/F14 2nd template)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "merge_upsert_freshness",   # M2 M4 C5
