@@ -99,6 +99,12 @@ def main() -> None:
                     help="documents fixture family: 'fixed' = the original "
                          "2000-word vocab; 'heaps' = Heaps'-law vocabulary "
                          "growth (scale-invariant duplication)")
+    ap.add_argument("--vec-mode", choices=["uniform", "clustered",
+                    "clustered_scaled"], default="uniform",
+                    help="embeddings fixture family: 'uniform' = the "
+                         "worst-case near-uniform vectors; "
+                         "'clustered_scaled' = sqrt(n) Gaussian clusters "
+                         "(the realistic scale series for ANN audits)")
     ap.add_argument("--row-suffix", default=None,
                     help="suffix appended to result row names (e.g. '@heaps') "
                          "so variant-fixture rows merge alongside the "
@@ -123,7 +129,7 @@ def main() -> None:
             docs=args.docs1 * mult,
             vecs=args.vecs1 * mult,
             seed=42,
-            mode="uniform",
+            mode=args.vec_mode,
             corpus=args.corpus,
         )
         dirs[mult] = d
