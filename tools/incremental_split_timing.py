@@ -92,7 +92,20 @@ def main() -> None:
     ap.add_argument("--docs1", type=int, default=5000)
     ap.add_argument("--vecs1", type=int, default=2000)
     ap.add_argument("--mults", default="1,3,9,27")
+    ap.add_argument("--corpus", choices=["fixed", "heaps"], default="fixed",
+                    help="documents fixture family (gen_scaledata --corpus): "
+                         "'heaps' keeps chance shingle/band collisions "
+                         "scale-invariant — the representative corpus")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated subset of row families to run "
+                         "(substr, sem, lsh, tick); default: all")
+    ap.add_argument("--row-suffix", default=None,
+                    help="suffix appended to row names (e.g. '@heaps') so "
+                         "variant-fixture rows merge alongside canonical ones")
     args = ap.parse_args()
+    fams = set(args.families.split(",")) if args.families else {
+        "substr", "sem", "lsh", "tick"
+    }
     mults = [int(m) for m in args.mults.split(",")]
     assert mults[0] == 1, "the first multiplier must be the 1x base"
 
@@ -116,7 +129,8 @@ def main() -> None:
     # the FIXED batch: a fresh 1×-sized slice with ids above every
     # archive id at any mult (distinct seed → distinct content)
     bdir = f"{root}/batch"
-    generate(bdir, docs=args.docs1, vecs=args.vecs1, seed=99, mode="uniform")
+    generate(bdir, docs=args.docs1, vecs=args.vecs1, seed=99, mode="uniform",
+             corpus=args.corpus)
     doc_batch = (
         spark.read.parquet(f"{bdir}/documents.parquet")
         .withColumn("doc_id", F.col("doc_id") + ID_OFFSET)
@@ -155,10 +169,13 @@ def main() -> None:
         d = f"{root}/x{mult}"
         generate(
             d, docs=args.docs1 * mult, vecs=args.vecs1 * mult,
-            seed=42, mode="uniform",
+            seed=42, mode="uniform", corpus=args.corpus,
         )
         docs = spark.read.parquet(f"{d}/documents.parquet")
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        from experts_etl_spark.llm.similarity import srp_bucket
+
+        bits_m = auto_srp_bits(args.vecs1 * mult)
 
         # --- substring family -----------------------------------------
         def substr_build():
@@ -166,26 +183,29 @@ def main() -> None:
                 docs, "text", "doc_id"
             ).localCheckpoint()
 
-        substr_build()  # warm
-        bt, store = [], None
-        for _ in range(3):
-            t0 = time.time()
-            store = substr_build()
-            bt.append(time.time() - t0)
-        rows["substr_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+        if "substr" in fams:
+            substr_build()  # warm
+            bt, store = [], None
+            for _ in range(3):
+                t0 = time.time()
+                store = substr_build()
+                bt.append(time.time() - t0)
+            rows["substr_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
 
-        def substr_probe():
-            substring_dedup_incremental(
-                doc_batch, store, "text", "doc_id"
-            ).count()
+            def substr_probe():
+                substring_dedup_incremental(
+                    doc_batch, store, "text", "doc_id"
+                ).count()
 
-        substr_probe()  # warm
-        pt = []
-        for _ in range(3):
-            t0 = time.time()
-            substr_probe()
-            pt.append(time.time() - t0)
-        rows["substr_incr_probe_fixed_batch"][f"t{mult}x"] = round(min(pt), 3)
+            substr_probe()  # warm
+            pt = []
+            for _ in range(3):
+                t0 = time.time()
+                substr_probe()
+                pt.append(time.time() - t0)
+            rows["substr_incr_probe_fixed_batch"][f"t{mult}x"] = round(
+                min(pt), 3
+            )
 
         # --- semantic family ------------------------------------------
         def sem_build():
@@ -197,53 +217,52 @@ def main() -> None:
                 .localCheckpoint()
             )
 
-        sem_build()  # warm
-        bt, sem_store = [], None
-        for _ in range(3):
-            t0 = time.time()
-            sem_store = sem_build()
-            bt.append(time.time() - t0)
-        rows["semdedup_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+        if "sem" in fams:
+            sem_build()  # warm
+            bt, sem_store = [], None
+            for _ in range(3):
+                t0 = time.time()
+                sem_store = sem_build()
+                bt.append(time.time() - t0)
+            rows["semdedup_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
 
-        def sem_probe():
-            semantic_dedup_incremental(
-                emb_batch, sem_store, "vec_id", "embedding", 0.35, bits
-            ).count()
+            def sem_probe():
+                semantic_dedup_incremental(
+                    emb_batch, sem_store, "vec_id", "embedding", 0.35, bits
+                ).count()
 
-        sem_probe()  # warm
-        pt = []
-        for _ in range(3):
-            t0 = time.time()
-            sem_probe()
-            pt.append(time.time() - t0)
-        rows["semdedup_incr_probe_fixed_batch"][f"t{mult}x"] = round(
-            min(pt), 3
-        )
+            sem_probe()  # warm
+            pt = []
+            for _ in range(3):
+                t0 = time.time()
+                sem_probe()
+                pt.append(time.time() - t0)
+            rows["semdedup_incr_probe_fixed_batch"][f"t{mult}x"] = round(
+                min(pt), 3
+            )
 
-        # --- semantic family, post-rebuild state (r12): the store as
-        # the occupancy trigger maintains it — width re-derived from
-        # the CURRENT corpus, bucket column precomputed -----------------
-        from experts_etl_spark.llm.similarity import srp_bucket
+            # --- semantic family, post-rebuild state (r12): the store
+            # as the occupancy trigger maintains it — width re-derived
+            # from the CURRENT corpus, bucket precomputed ---------------
+            sem_store_rb = sem_store.withColumn(
+                "bucket", srp_bucket(F.col("embedding"), bits_m)
+            ).localCheckpoint()
 
-        bits_m = auto_srp_bits(args.vecs1 * mult)
-        sem_store_rb = sem_store.withColumn(
-            "bucket", srp_bucket(F.col("embedding"), bits_m)
-        ).localCheckpoint()
+            def sem_probe_rb():
+                semantic_dedup_incremental(
+                    emb_batch, sem_store_rb, "vec_id", "embedding", 0.35,
+                    bits_m,
+                ).count()
 
-        def sem_probe_rb():
-            semantic_dedup_incremental(
-                emb_batch, sem_store_rb, "vec_id", "embedding", 0.35, bits_m
-            ).count()
-
-        sem_probe_rb()  # warm
-        pt = []
-        for _ in range(3):
-            t0 = time.time()
-            sem_probe_rb()
-            pt.append(time.time() - t0)
-        rows["semdedup_incr_probe_rebucketed"][f"t{mult}x"] = round(
-            min(pt), 3
-        )
+            sem_probe_rb()  # warm
+            pt = []
+            for _ in range(3):
+                t0 = time.time()
+                sem_probe_rb()
+                pt.append(time.time() - t0)
+            rows["semdedup_incr_probe_rebucketed"][f"t{mult}x"] = round(
+                min(pt), 3
+            )
 
         # --- LSH near-dup family (r10 verdict missing #2: the ingest
         # paths are the 100 TB story; this is the third of the three
@@ -254,48 +273,64 @@ def main() -> None:
                 docs, "text", "doc_id"
             ).localCheckpoint()
 
-        lsh_build()  # warm
-        bt, sig_store = [], None
-        for _ in range(3):
-            t0 = time.time()
-            sig_store = lsh_build()
-            bt.append(time.time() - t0)
-        rows["lsh_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
+        if "lsh" in fams:
+            lsh_build()  # warm
+            bt, sig_store = [], None
+            for _ in range(3):
+                t0 = time.time()
+                sig_store = lsh_build()
+                bt.append(time.time() - t0)
+            rows["lsh_incr_store_build"][f"t{mult}x"] = round(min(bt), 3)
 
-        def lsh_probe():
-            incremental_lsh_dedup(
-                None, None, "text", "doc_id", 0.5,
-                index_signatures=sig_store, new_signatures=batch_sigs,
-            ).count()
+            def lsh_probe():
+                incremental_lsh_dedup(
+                    None, None, "text", "doc_id", 0.5,
+                    index_signatures=sig_store, new_signatures=batch_sigs,
+                ).count()
 
-        lsh_probe()  # warm
-        pt = []
-        for _ in range(3):
-            t0 = time.time()
-            lsh_probe()
-            pt.append(time.time() - t0)
-        rows["lsh_incr_probe_fixed_batch"][f"t{mult}x"] = round(min(pt), 3)
-
-        # matched-band join volume: the term the probe cost tracks
-        # (diagnoses growth as band-match volume vs machine noise)
-        from experts_etl_spark.llm.dedup import band_stack
-
-        band_pairs[f"x{mult}"] = (
-            band_stack(batch_sigs.drop("sh"), "doc_id")
-            .join(
-                band_stack(sig_store.drop("sh"), "doc_id").select(
-                    "band_idx", "band_key"
-                ),
-                on=["band_idx", "band_key"],
+            lsh_probe()  # warm
+            pt = []
+            for _ in range(3):
+                t0 = time.time()
+                lsh_probe()
+                pt.append(time.time() - t0)
+            rows["lsh_incr_probe_fixed_batch"][f"t{mult}x"] = round(
+                min(pt), 3
             )
-            .count()
-        )
+
+            # matched-band join volume: the term the probe cost tracks
+            # (diagnoses growth as band-match volume vs machine noise)
+            from experts_etl_spark.llm.dedup import band_stack
+
+            band_pairs[f"x{mult}"] = (
+                band_stack(batch_sigs.drop("sh"), "doc_id")
+                .join(
+                    band_stack(sig_store.drop("sh"), "doc_id").select(
+                        "band_idx", "band_key"
+                    ),
+                    on=["band_idx", "band_key"],
+                )
+                .count()
+            )
 
         # --- composed tick (r11 verdict missing #2): stores built once
         # per scale point, one fixed 1x batch through curation_tick ------
         from experts_etl_spark.llm.curation import substring_window_store
         from experts_etl_spark.llm.text import fingerprint
         from experts_etl_spark.streaming.tick import curation_tick
+
+        if "tick" not in fams:
+            print(f"x{mult}: " + " ".join(
+                f"{k}={rows[k].get(f't{mult}x')}s"
+                for k in rows if rows[k].get(f"t{mult}x") is not None
+            ) + (f" bands={band_pairs.get(f'x{mult}')}"
+                 if f"x{mult}" in band_pairs else ""))
+            spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            continue
 
         def tick_build():
             fps = (
@@ -344,18 +379,11 @@ def main() -> None:
             pt.append(time.time() - t0)
         rows["tick_probe_fixed_batch"][f"t{mult}x"] = round(min(pt), 3)
 
-        print(
-            f"x{mult}: substr build={rows['substr_incr_store_build'][f't{mult}x']:.2f}s "
-            f"probe={rows['substr_incr_probe_fixed_batch'][f't{mult}x']:.2f}s | "
-            f"sem build={rows['semdedup_incr_store_build'][f't{mult}x']:.2f}s "
-            f"probe={rows['semdedup_incr_probe_fixed_batch'][f't{mult}x']:.2f}s | "
-            f"lsh build={rows['lsh_incr_store_build'][f't{mult}x']:.2f}s "
-            f"probe={rows['lsh_incr_probe_fixed_batch'][f't{mult}x']:.2f}s "
-            f"(bands={band_pairs[f'x{mult}']}) | "
-            f"sem_rb probe={rows['semdedup_incr_probe_rebucketed'][f't{mult}x']:.2f}s | "
-            f"tick build={rows['tick_store_build'][f't{mult}x']:.2f}s "
-            f"probe={rows['tick_probe_fixed_batch'][f't{mult}x']:.2f}s"
-        )
+        print(f"x{mult}: " + " ".join(
+            f"{k}={rows[k].get(f't{mult}x')}s"
+            for k in rows if rows[k].get(f"t{mult}x") is not None
+        ) + (f" bands={band_pairs.get(f'x{mult}')}"
+             if f"x{mult}" in band_pairs else ""))
         spark.catalog.clearCache()
         import gc
 
@@ -370,10 +398,18 @@ def main() -> None:
         "srp_bits_pinned": bits,
         "tool": "incremental_split_timing.py",
     }
+    rows = {
+        name + (args.row_suffix or ""): row
+        for name, row in rows.items()
+        if any(k.startswith("t") for k in row)
+    }
     for row in rows.values():
         _fit(row, mults)
         row["run"] = dict(run_meta)
-    rows["lsh_incr_probe_fixed_batch"]["run"]["band_pairs"] = band_pairs
+        row["run"]["corpus"] = args.corpus
+    lsh_key = "lsh_incr_probe_fixed_batch" + (args.row_suffix or "")
+    if lsh_key in rows:
+        rows[lsh_key]["run"]["band_pairs"] = band_pairs
     print(json.dumps(rows, indent=2))
     if args.out:
         if os.path.exists(args.out):
