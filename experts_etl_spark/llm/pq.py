@@ -247,24 +247,25 @@ def pq_train(
     assignment and drop out; both engines agree.
 
     ``train_mod`` samples the Lloyd TRAINING set at a vec_id stride,
-    exactly like ``similarity._kmeans_train``: ``"auto"`` derives
+    the ``similarity._kmeans_train`` pattern: ``"auto"`` derives
     :func:`auto_pq_train_mod` (~16·k training vectors — bounded at
-    ~4096 by the k=256 cap, so training is O(1) in the corpus);
-    ``"full"`` pins full-corpus training (the gated-oracle contract);
-    ``None`` self-selects — sampled past
-    :data:`~experts_etl_spark.llm.similarity.TRAIN_AUTO_MIN` rows,
-    full below it.  Seed vectors are always unioned into the sample so
-    every codeword keeps its self-assigning seed and no codeword
-    empties out on the first round.  The FINAL encode (the returned
-    subvector corpus) always covers the full corpus."""
-    from experts_etl_spark.llm.similarity import TRAIN_AUTO_MIN
-
+    ~4096 by the k=256 cap, so training is O(1) in the corpus — the
+    rebuild loop's choice); ``None``/``"full"`` (the DEFAULT) trains
+    on the full corpus.  Unlike the IVF quantizer (k ≈ √n → n·√n
+    full-training cost, where self-selection matters), PQ's k caps at
+    256, so full training is already LINEAR — sampling only cuts the
+    constant — and keeping the default full preserves the gated-oracle
+    contract at every corpus size (the SQL twins train full).  Seed
+    vectors are always unioned into the sample so every codeword keeps
+    its self-assigning seed and no codeword empties out on the first
+    round.  The FINAL encode (the returned subvector corpus) always
+    covers the full corpus."""
     m = _resolve_m(emb, vec_col, m)
-    need_count = code_mod is None or train_mod in ("auto", None)
+    need_count = code_mod is None or train_mod == "auto"
     n_rows = emb.count() if need_count else 0
     if code_mod is None:
         code_mod = auto_code_mod(n_rows)
-    if train_mod == "auto" or (train_mod is None and n_rows > TRAIN_AUTO_MIN):
+    if train_mod == "auto":
         train_mod = auto_pq_train_mod(n_rows)
     elif train_mod in (None, "full"):
         train_mod = 1

@@ -493,7 +493,14 @@ def bucketed_cross_hits(
             store.select(
                 F.col(id_col).alias("_sid"),
                 F.col(vec_col).alias("_svec"),
-                "bucket",
+                # rows from pre-index partitions surface a null bucket
+                # after schema merge; coalesce computes theirs on the
+                # fly (per-row short-circuit: indexed rows pay nothing)
+                # so a mixed store degrades to compute, never to a
+                # silent match miss
+                F.coalesce(
+                    F.col("bucket"), srp_bucket(F.col(vec_col), bits)
+                ).alias("bucket"),
             ),
             "bucket",
         )

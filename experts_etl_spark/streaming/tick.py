@@ -301,11 +301,21 @@ def run_streaming_tick(
             .parquet(os.path.join(dirs["win"], f"batch_id={batch_id}"))
         )
         if emb_batch is not None:
+            from experts_etl_spark.llm.similarity import srp_bucket
+
             kept_embs = emb_batch.join(
                 keep_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
             )
+            # persist the SRP bucket at the store's pinned width so the
+            # next tick's probe joins the stored index instead of
+            # re-deriving quantize+bucket over the whole archive
+            # (bucketed_cross_hits' precomputed-bucket arm)
             (
-                kept_embs.select("vec_id", "embedding")
+                kept_embs.select(
+                    "vec_id",
+                    "embedding",
+                    srp_bucket(F.col("embedding"), sem_bits).alias("bucket"),
+                )
                 .write.mode("overwrite")
                 .parquet(os.path.join(dirs["emb"], f"batch_id={batch_id}"))
             )

@@ -283,3 +283,43 @@ def test_interrupted_rebucket_resumes_from_meta_next(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_mixed_store_null_buckets_degrade_to_compute(spark):
+    """A store whose older partitions predate the bucket index surfaces
+    null buckets after schema merge; the precomputed-bucket arm must
+    compute those rows' buckets on the fly — identical decisions to a
+    fully-indexed or fully-unindexed store, never a silent match miss."""
+    from experts_etl_spark.llm.similarity import srp_bucket
+
+    e = read_table(spark, SF_SMOKE, "embeddings")
+    n = e.count()
+    bits = auto_srp_bits(n)
+    cut = 4 * n // 5
+    store_plain = e.filter(F.col("vec_id") < cut)
+    batch = e.filter(F.col("vec_id") >= cut)
+    # half the store rows carry a precomputed bucket, half a NULL
+    store_mixed = store_plain.withColumn(
+        "bucket",
+        F.when(
+            F.col("vec_id") % 2 == 0,
+            srp_bucket(F.col("embedding"), bits),
+        ),
+    )
+    want = sorted(
+        map(
+            tuple,
+            semantic_dedup_incremental(
+                batch, store_plain, "vec_id", "embedding", THRESHOLD, bits
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            semantic_dedup_incremental(
+                batch, store_mixed, "vec_id", "embedding", THRESHOLD, bits
+            ).collect(),
+        )
+    )
+    assert got == want
