@@ -156,6 +156,7 @@ def run_streaming_tick(
     books_path: str | None = None,
     pq_m: int | None = None,
     pq_recon_ppm_threshold: int | None = None,
+    sem_occupancy_limit: int | None = None,
     window_words: int = 5,
     max_sf: int = 2,
     max_files_per_trigger: int | None = None,
@@ -188,6 +189,17 @@ def run_streaming_tick(
     the rebuild is a fixpoint of the replay, same as the standalone
     ingest loop.  ``books_path`` must point at standing codebooks
     (the tick's contract); there is no bootstrap leg here.
+
+    With ``sem_occupancy_limit`` set, the kept-embedding store gets
+    the SAME self-maintenance as the standalone semantic runner
+    (streaming/semantic.py): ``sem_bits`` becomes the CREATION width
+    tracked in the store's ``_srp_meta`` sidecar, probes resolve the
+    current width from the meta (completing any crash-interrupted
+    re-bucket first), and a store whose mean occupancy crosses the
+    limit re-widens to ``auto_srp_bits(current count)`` (dim-capped)
+    through the same staged write-audit-publish re-bucket.  Unset
+    (the default), the width stays pinned at ``sem_bits`` — the r11
+    behavior.
 
     ``emb_src`` is the upstream embedding table keyed by doc id
     (vec_id == doc_id); the per-tick lookup joins the BATCH ids
@@ -232,11 +244,37 @@ def run_streaming_tick(
             )
         return df
 
+    emb_meta = os.path.join(dirs["emb"], "_srp_meta")
+    emb_meta_next = os.path.join(dirs["emb"], "_srp_meta_next")
+
     def tick(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         # ONE pass over the batch text: checkpoint the source batch;
         # every stage below reads this, never the stream source.
         batch = batch.localCheckpoint(eager=True)
+        # resolve the kept-embedding store's current SRP width (and
+        # complete any crash-interrupted re-bucket) BEFORE any probe —
+        # the streaming/semantic.py discipline
+        bits_cur, emb_meta_row = sem_bits, None
+        if sem_occupancy_limit is not None:
+            from experts_etl_spark.streaming.semantic import (
+                _delete,
+                _read_meta,
+                _rebucket_store,
+                _write_meta,
+            )
+
+            pending = _read_meta(spark_b, emb_meta_next)
+            if pending is not None:
+                _rebucket_store(
+                    spark_b, dirs["emb"], pending[0], pending[1],
+                    "vec_id", "embedding",
+                )
+                _write_meta(spark_b, emb_meta, pending[0], pending[1])
+                _delete(spark_b, emb_meta_next)
+            emb_meta_row = _read_meta(spark_b, emb_meta)
+            if emb_meta_row is not None:
+                bits_cur = emb_meta_row[0]
         emb_batch = None
         if emb_src is not None:
             ids = batch.select(F.col("doc_id").alias("vec_id"))
@@ -251,7 +289,7 @@ def run_streaming_tick(
             quality_min=quality_min,
             near_dup_threshold=near_dup_threshold,
             sem_threshold=sem_threshold,
-            sem_bits=sem_bits,
+            sem_bits=bits_cur,
             kept_fps=_read_store(spark_b, dirs["fp"], batch_id),
             index_signatures=_read_store(spark_b, dirs["sig"], batch_id),
             window_store=_read_store(spark_b, dirs["win"], batch_id),
@@ -314,11 +352,43 @@ def run_streaming_tick(
                 kept_embs.select(
                     "vec_id",
                     "embedding",
-                    srp_bucket(F.col("embedding"), sem_bits).alias("bucket"),
+                    srp_bucket(F.col("embedding"), bits_cur).alias("bucket"),
                 )
                 .write.mode("overwrite")
                 .parquet(os.path.join(dirs["emb"], f"batch_id={batch_id}"))
             )
+            if sem_occupancy_limit is not None:
+                from experts_etl_spark.llm.similarity import auto_srp_bits
+                from experts_etl_spark.streaming.semantic import (
+                    _delete,
+                    _read_meta,
+                    _rebucket_store,
+                    _write_meta,
+                )
+
+                n_kept = spark_b.read.parquet(dirs["emb"]).count()
+                if emb_meta_row is None:
+                    _write_meta(spark_b, emb_meta, bits_cur, n_kept)
+                if n_kept > sem_occupancy_limit * (1 << bits_cur):
+                    dim_row = emb_batch.select(
+                        F.size(F.col("embedding")).alias("d")
+                    ).first()
+                    dim = int(dim_row["d"]) if dim_row is not None else bits_cur
+                    bits_new = min(auto_srp_bits(n_kept), dim)
+                    if bits_new > bits_cur:
+                        _write_meta(
+                            spark_b, emb_meta_next, bits_new, n_kept
+                        )
+                        _rebucket_store(
+                            spark_b, dirs["emb"], bits_new, n_kept,
+                            "vec_id", "embedding",
+                        )
+                        _write_meta(spark_b, emb_meta, bits_new, n_kept)
+                        _delete(spark_b, emb_meta_next)
+                    else:
+                        _write_meta(spark_b, emb_meta, bits_cur, n_kept)
+                elif emb_meta_row is not None:
+                    _write_meta(spark_b, emb_meta, bits_cur, n_kept)
             if books_path is not None:
                 books = spark_b.read.parquet(books_path)
                 (

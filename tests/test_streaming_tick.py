@@ -465,3 +465,86 @@ def test_tick_pq_leg_rebuilds_on_drift_and_replays_stable(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(out + "/_pq_index").collect())
     ) == before
+
+
+def test_tick_sem_store_rebuilds_srp_width_on_occupancy(spark, tmp_path):
+    """With sem_occupancy_limit set, the tick's kept-embedding store
+    self-maintains like the standalone semantic runner: a store that
+    outgrows its creation width re-widens to auto_srp_bits(count)
+    through the staged write-audit-publish re-bucket, later probes run
+    at the meta width, and a re-drain is byte-stable."""
+    from experts_etl_spark.llm.similarity import auto_srp_bits, srp_bucket
+
+    def _words(tag):
+        return [f"{tag}{i:03d}" for i in range(80)]
+
+    dim = 32
+    b1 = spark.createDataFrame(
+        [_doc(i, _words(f"uno{i}")) for i in range(20)], DOC_SCHEMA
+    )
+    # batch 2: doc 100 is a semantic copy of doc 0's embedding (must be
+    # rejected via the store probe at the REBUILT width), doc 101 novel
+    b2 = spark.createDataFrame(
+        [_doc(100, _words("dup")), _doc(101, _words("nov"))], DOC_SCHEMA
+    )
+
+    def onehot(j):
+        v = [0.0] * dim
+        v[j] = 1.0
+        return v
+
+    embs = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(20)]
+        + [(100, onehot(0)), (101, onehot(25))],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    emb_dir = tmp_path / "embs"
+    embs.write.parquet(str(emb_dir))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _tick():
+        run_streaming_tick(
+            spark,
+            str(src_dir),
+            str(emb_dir),
+            out,
+            ckpt,
+            sem_bits=2,              # deliberately narrow creation width
+            sem_occupancy_limit=4,   # 20 keepers > 4 * 2^2 -> trigger
+        )
+
+    _land(tmp_path, src_dir, b1, "b1")
+    _tick()
+    store_dir = out + "/_kept_embeddings"
+    meta = spark.read.parquet(store_dir + "/_srp_meta").first()
+    want_bits = min(auto_srp_bits(20), dim)
+    assert want_bits > 2 and meta["bits"] == want_bits
+    store = spark.read.parquet(store_dir)
+    assert store.count() == 20
+    assert store.filter(
+        F.col("bucket") != srp_bucket(F.col("embedding"), want_bits)
+    ).count() == 0
+    assert not glob.glob(store_dir + "/_srp_meta_next/*")
+
+    _land(tmp_path, src_dir, b2, "b2")
+    _tick()
+    r2 = _reasons(spark, {"out": out}, 1)
+    assert r2[100] == "semantic_duplicate"  # probed at the rebuilt width
+    assert r2[101] is None
+
+    # re-drain: everything byte-stable, width unchanged
+    def snap():
+        out_rows = {}
+        for sink in ("keep", "reject", "_kept_embeddings"):
+            out_rows[sink] = sorted(
+                map(tuple, spark.read.parquet(f"{out}/{sink}").collect())
+            )
+        return out_rows
+
+    before = snap()
+    _tick()
+    assert snap() == before
+    assert spark.read.parquet(store_dir + "/_srp_meta").first()["bits"] == want_bits
