@@ -258,8 +258,11 @@ def pq_train(
     contract at every corpus size (the SQL twins train full).  Seed
     vectors are always unioned into the sample so every codeword keeps
     its self-assigning seed and no codeword empties out on the first
-    round.  The FINAL encode (the returned subvector corpus) always
-    covers the full corpus."""
+    round, and a sample landing under HALF the dense-id target
+    (``n // train_mod``) — a sparse or skewed id space, e.g. a
+    compacted rebuild archive — falls back to full training rather
+    than fitting degenerate books (r12 ADVICE).  The FINAL encode
+    (the returned subvector corpus) always covers the full corpus."""
     m = _resolve_m(emb, vec_col, m)
     need_count = code_mod is None or train_mod == "auto"
     n_rows = emb.count() if need_count else 0
@@ -269,6 +272,22 @@ def pq_train(
         train_mod = auto_pq_train_mod(n_rows)
     elif train_mod in (None, "full"):
         train_mod = 1
+    if train_mod > 1:
+        # the stride sample assumes ids roughly uniform modulo the
+        # stride; a sparse/skewed id space (e.g. a compacted rebuild
+        # archive) can land far below the ~16·k design density and
+        # train degenerate books (r12 ADVICE).  One column-pruned
+        # count over the id column detects it; under half the dense-id
+        # target, fall back to full Lloyd — correctness first, the
+        # sampling is only a constant-factor cut.
+        if n_rows == 0:
+            n_rows = emb.count()
+        n_sample = emb.filter(
+            (F.col(id_col) % train_mod == 0)
+            | (F.col(id_col) % code_mod == 0)
+        ).count()
+        if 2 * n_sample < n_rows // train_mod:
+            train_mod = 1
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),

@@ -177,10 +177,19 @@ def maybe_rebuild_pq_index(
     new code partitions through write-audit-publish — the audit hook
     vetoes unless the FULL-CORPUS ``pq_recon_ppm`` is back under
     threshold and every archived id re-encoded, so sampled training
-    carries zero quality risk.  The archive is compacted
-    latest-batch-wins on ``id_col`` first: a re-arrived id is a
-    correction, and fanning it out to two code rows would
-    double-count it in the index."""
+    carries zero quality risk.  A sampled rebuild that still misses
+    the threshold retries once with full Lloyd before vetoing (r12
+    ADVICE — a veto wedges the stream on every replay, so it must be
+    the last resort, not the first response to a degenerate sample).
+    The archive is compacted latest-batch-wins on ``id_col`` first: a
+    re-arrived id is a correction, and fanning it out to two code rows
+    would double-count it in the index; partitions whose every id was
+    superseded are DELETED (they would otherwise survive the dynamic
+    overwrite holding old-book codes), and a post-publish audit of the
+    final table verifies exactly one code set per archived id.  Crash
+    windows converge via replay: codes publish before books, so a
+    crash in between leaves the drifting batch still over-threshold
+    against the old books and the replay re-fires the rebuild."""
     import os
 
     from pyspark.sql import Window
@@ -206,6 +215,16 @@ def maybe_rebuild_pq_index(
     )
     books2 = books2.localCheckpoint(eager=True)
     post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
+    if post_ppm > recon_ppm_threshold:
+        # sampled books missed the bar (a pathological id space can
+        # starve the stride sample even past pq_train's density
+        # fallback): one full-Lloyd retry before wedging the stream on
+        # a veto that every replay would just re-hit (r12 ADVICE)
+        _, books2 = pq_train(
+            corpus, id_col, vec_col, m, code_mod, iters, train_mod="full"
+        )
+        books2 = books2.localCheckpoint(eager=True)
+        post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
 
     def _audit(staged: DataFrame) -> None:
         if post_ppm > recon_ppm_threshold:
@@ -223,7 +242,52 @@ def maybe_rebuild_pq_index(
     ).join(
         corpus.select(F.col(id_col).alias("vec_id"), "batch_id"), "vec_id"
     )
+    # A batch whose every id is superseded by later batches contributes
+    # ZERO staged rows, so overwrite_partitions would leave its old
+    # codes/batch_id=N partition standing — rows encoded under the OLD
+    # books, duplicate vec_ids in the index (r12 ADVICE).  Delete the
+    # fully-superseded partitions BEFORE the publish: their ids' only
+    # current codes live in later partitions, so a crash in between
+    # loses nothing — the table is just the old index minus duplicates.
+    kept_batches = {
+        int(r["batch_id"])
+        for r in corpus.select("batch_id").distinct().collect()
+    }
+    jvm = spark._jvm
+    codes_p = jvm.org.apache.hadoop.fs.Path(codes_dir)
+    fs = codes_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(codes_p):
+        for st in fs.listStatus(codes_p):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid not in kept_batches:
+                fs.delete(st.getPath(), True)
     overwrite_partitions(recoded, codes_dir, ["batch_id"], audit=_audit)
+    # audit the PUBLISHED table, not just the staged frame: every
+    # archived id exactly once, with a uniform code-row fan-out (a
+    # surviving stale partition would double some vec_id's rows)
+    pub = (
+        spark.read.parquet(codes_dir)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("ids"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+        )
+        .first()
+    )
+    if int(pub["ids"]) != n_ids or pub["lo"] != pub["hi"]:
+        raise RuntimeError(
+            f"PQ rebuild audit: published index has {pub['ids']} ids "
+            f"(want {n_ids}) with code fan-out [{pub['lo']}, "
+            f"{pub['hi']}] — stale or lossy partition survived"
+        )
     books2.write.mode("overwrite").parquet(books_dir)
     (
         spark.createDataFrame(
@@ -277,9 +341,14 @@ def run_streaming_pq_ingest_with_rebuild(
     quantization error, not drift, so a threshold below that intrinsic
     error must not fire a futile same-data rebuild (whose post-audit
     would veto and wedge the stream on every replay).  Replays of the
-    bootstrap batch are likewise exempt: the check only arms once a
-    LATER batch id arrives (``_bootstrap_batch`` marker under
-    ``_books``).
+    bootstrap batch are likewise exempt: the
+    ``<index_dir>/_bootstrap_batch`` marker records the bootstrap
+    batch's CONTENT fingerprint (row count + XOR of (id, vector)
+    row hashes), and the
+    check only arms for a batch whose content differs — a raw
+    batch-id marker would wrongly exempt the first batch of NEW data
+    arriving under a re-pointed checkpoint, whose ids restart at 0
+    (r12 ADVICE).
 
     Rebuild training runs on the ``train_mod="auto"`` √n-style sample
     (:func:`~experts_etl_spark.llm.pq.auto_pq_train_mod`: ~16·k
@@ -327,6 +396,30 @@ def run_streaming_pq_ingest_with_rebuild(
 
     boot_marker = os.path.join(index_dir, "_bootstrap_batch")
 
+    def _fingerprint(b: DataFrame) -> tuple[int, int]:
+        """Order-free content identity of a batch (row count + XOR of
+        (id, vector) row hashes; XOR cannot overflow under ANSI
+        arithmetic) — one
+        column-pruned aggregate over the checkpointed batch.
+        Identifies the bootstrap batch by WHAT it contains, not by its
+        checkpoint-relative batch_id: foreachBatch ids restart at 0
+        with any fresh checkpoint dir, so a raw-id exemption would
+        silently skip the drift check for the first batch of genuinely
+        NEW data in a re-pointed run (r12 ADVICE)."""
+        row = (
+            b.select(
+                F.xxhash64(
+                    F.col(id_col).cast("string"), F.col(vec_col)
+                ).alias("_h")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(_h)").alias("h"),
+            )
+            .first()
+        )
+        return int(row["n"]), int(row["h"]) if row["h"] is not None else 0
+
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
@@ -343,8 +436,10 @@ def run_streaming_pq_ingest_with_rebuild(
                 batch, id_col, vec_col, m, code_mod, iters, train_mod="auto"
             )
             books.write.mode("overwrite").parquet(books_dir)
+            fp_n, fp_h = _fingerprint(batch)
             spark_b.createDataFrame(
-                [(int(batch_id),)], "batch_id bigint"
+                [(int(batch_id), fp_n, fp_h)],
+                "batch_id bigint, n bigint, h bigint",
             ).write.mode("overwrite").parquet(boot_marker)
         books = spark_b.read.parquet(books_dir)
         (
@@ -356,8 +451,13 @@ def run_streaming_pq_ingest_with_rebuild(
             return  # intrinsic quantization error is not drift
         if _exists(spark_b, boot_marker):  # absent on pre-marker indexes
             boot_row = spark_b.read.parquet(boot_marker).first()
-            if boot_row is not None and int(boot_row["batch_id"]) == batch_id:
-                return  # at-least-once replay of the bootstrap tick
+            if boot_row is not None:
+                d = boot_row.asDict()
+                if "n" in d and "h" in d:
+                    if (int(d["n"]), int(d["h"])) == _fingerprint(batch):
+                        return  # replay of the bootstrap CONTENT
+                elif int(d["batch_id"]) == batch_id:
+                    return  # legacy id-only marker (pre-r13 indexes)
         ppm = pq_recon_ppm(batch, books, id_col, vec_col, m)
         if ppm <= recon_ppm_threshold:
             return

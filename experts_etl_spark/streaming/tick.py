@@ -190,16 +190,21 @@ def run_streaming_tick(
     ingest loop.  ``books_path`` must point at standing codebooks
     (the tick's contract); there is no bootstrap leg here.
 
-    With ``sem_occupancy_limit`` set, the kept-embedding store gets
-    the SAME self-maintenance as the standalone semantic runner
-    (streaming/semantic.py): ``sem_bits`` becomes the CREATION width
-    tracked in the store's ``_srp_meta`` sidecar, probes resolve the
-    current width from the meta (completing any crash-interrupted
-    re-bucket first), and a store whose mean occupancy crosses the
-    limit re-widens to ``auto_srp_bits(current count)`` (dim-capped)
-    through the same staged write-audit-publish re-bucket.  Unset
-    (the default), the width stays pinned at ``sem_bits`` — the r11
-    behavior.
+    The kept-embedding store's SRP width ALWAYS resolves through the
+    ``_srp_meta`` sidecar when one exists (completing any
+    crash-interrupted re-bucket first — ``streaming/semantic.py``'s
+    :func:`~experts_etl_spark.streaming.semantic.resolve_srp_width`);
+    ``sem_bits`` is only the fallback for stores with no sidecar.
+    This holds regardless of ``sem_occupancy_limit`` — a store
+    re-widened by an earlier run (or a ``sem_bits`` change between
+    runs) must never be probed at a stale width, or the
+    precomputed-bucket join silently leaks semantic duplicates (r12
+    ADVICE).  With ``sem_occupancy_limit`` set, the store additionally
+    SELF-MAINTAINS exactly like the standalone semantic runner: a
+    store whose mean occupancy crosses the limit re-widens to
+    ``auto_srp_bits(current count)`` (dim-capped) through the shared
+    :func:`~experts_etl_spark.streaming.semantic.
+    maybe_rebucket_srp_store` staged write-audit-publish re-bucket.
 
     ``emb_src`` is the upstream embedding table keyed by doc id
     (vec_id == doc_id); the per-tick lookup joins the BATCH ids
@@ -244,9 +249,6 @@ def run_streaming_tick(
             )
         return df
 
-    emb_meta = os.path.join(dirs["emb"], "_srp_meta")
-    emb_meta_next = os.path.join(dirs["emb"], "_srp_meta_next")
-
     def tick(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         # ONE pass over the batch text: checkpoint the source batch;
@@ -254,27 +256,16 @@ def run_streaming_tick(
         batch = batch.localCheckpoint(eager=True)
         # resolve the kept-embedding store's current SRP width (and
         # complete any crash-interrupted re-bucket) BEFORE any probe —
-        # the streaming/semantic.py discipline
-        bits_cur, emb_meta_row = sem_bits, None
-        if sem_occupancy_limit is not None:
-            from experts_etl_spark.streaming.semantic import (
-                _delete,
-                _read_meta,
-                _rebucket_store,
-                _write_meta,
-            )
+        # UNCONDITIONALLY, not only when this run intends to trigger
+        # re-widens: a store previously re-widened (or a sem_bits
+        # change between runs) probed at the caller's default would
+        # join batch buckets at one width against stored buckets at
+        # another and silently leak semantic duplicates (r12 ADVICE).
+        from experts_etl_spark.streaming.semantic import resolve_srp_width
 
-            pending = _read_meta(spark_b, emb_meta_next)
-            if pending is not None:
-                _rebucket_store(
-                    spark_b, dirs["emb"], pending[0], pending[1],
-                    "vec_id", "embedding",
-                )
-                _write_meta(spark_b, emb_meta, pending[0], pending[1])
-                _delete(spark_b, emb_meta_next)
-            emb_meta_row = _read_meta(spark_b, emb_meta)
-            if emb_meta_row is not None:
-                bits_cur = emb_meta_row[0]
+        bits_cur, emb_meta_row = resolve_srp_width(
+            spark_b, dirs["emb"], sem_bits
+        )
         emb_batch = None
         if emb_src is not None:
             ids = batch.select(F.col("doc_id").alias("vec_id"))
@@ -358,37 +349,14 @@ def run_streaming_tick(
                 .parquet(os.path.join(dirs["emb"], f"batch_id={batch_id}"))
             )
             if sem_occupancy_limit is not None:
-                from experts_etl_spark.llm.similarity import auto_srp_bits
                 from experts_etl_spark.streaming.semantic import (
-                    _delete,
-                    _read_meta,
-                    _rebucket_store,
-                    _write_meta,
+                    maybe_rebucket_srp_store,
                 )
 
-                n_kept = spark_b.read.parquet(dirs["emb"]).count()
-                if emb_meta_row is None:
-                    _write_meta(spark_b, emb_meta, bits_cur, n_kept)
-                if n_kept > sem_occupancy_limit * (1 << bits_cur):
-                    dim_row = emb_batch.select(
-                        F.size(F.col("embedding")).alias("d")
-                    ).first()
-                    dim = int(dim_row["d"]) if dim_row is not None else bits_cur
-                    bits_new = min(auto_srp_bits(n_kept), dim)
-                    if bits_new > bits_cur:
-                        _write_meta(
-                            spark_b, emb_meta_next, bits_new, n_kept
-                        )
-                        _rebucket_store(
-                            spark_b, dirs["emb"], bits_new, n_kept,
-                            "vec_id", "embedding",
-                        )
-                        _write_meta(spark_b, emb_meta, bits_new, n_kept)
-                        _delete(spark_b, emb_meta_next)
-                    else:
-                        _write_meta(spark_b, emb_meta, bits_cur, n_kept)
-                elif emb_meta_row is not None:
-                    _write_meta(spark_b, emb_meta, bits_cur, n_kept)
+                maybe_rebucket_srp_store(
+                    spark_b, dirs["emb"], bits_cur,
+                    sem_occupancy_limit, emb_meta_row,
+                )
             if books_path is not None:
                 books = spark_b.read.parquet(books_path)
                 (

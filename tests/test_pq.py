@@ -558,3 +558,49 @@ def test_pq_train_sampled_keeps_seeds_and_quality(spark):
     ppm_samp = pq_recon_ppm(e, samp, "vec_id", "embedding")
     # sampled training reconstructs within 2x of the full-Lloyd error
     assert ppm_samp <= max(2 * ppm_full, 1000), (ppm_full, ppm_samp)
+
+
+def test_train_mod_sparse_id_space_falls_back_to_full(spark):
+    """r12 ADVICE: the stride sample assumes ids roughly uniform
+    modulo train_mod.  An id space where the stride only ever hits the
+    seed rows (here: seeds are multiples of 16, every other id is
+    4i+1 so ``id % 4 == 0`` matches nothing new) must fall back to
+    FULL training — the books must equal train_mod='full' exactly,
+    not degenerate seed-only books."""
+    dim = 8
+    rows = [(i * 16, [float((i * 3 + j) % 11) for j in range(dim)])
+            for i in range(4)]            # 4 seed ids: 0, 16, 32, 48
+    rows += [(4 * i + 1, [float((i * 7 + j) % 13) for j in range(dim)])
+             for i in range(60)]          # 60 off-stride ids
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    _, sampled = pq_train(
+        emb, "vec_id", "embedding", m=2, code_mod=16, train_mod=4
+    )
+    _, full = pq_train(
+        emb, "vec_id", "embedding", m=2, code_mod=16, train_mod="full"
+    )
+    assert sorted(map(tuple, sampled.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_train_mod_dense_id_space_keeps_sampling(spark):
+    """The density fallback must NOT fire on a dense id space — the
+    stride sample there differs from full books (the sampling is
+    real), pinning that the fallback is a degeneracy guard, not a
+    silent always-full rewrite."""
+    dim = 8
+    rows = [(i, [float((i * 5 + j * 3) % 17) for j in range(dim)])
+            for i in range(128)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    _, sampled = pq_train(
+        emb, "vec_id", "embedding", m=2, code_mod=16, train_mod=4
+    )
+    _, full = pq_train(
+        emb, "vec_id", "embedding", m=2, code_mod=16, train_mod="full"
+    )
+    assert sorted(map(tuple, sampled.collect())) != sorted(
+        map(tuple, full.collect())
+    )

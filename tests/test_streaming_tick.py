@@ -548,3 +548,172 @@ def test_tick_sem_store_rebuilds_srp_width_on_occupancy(spark, tmp_path):
     _tick()
     assert snap() == before
     assert spark.read.parquet(store_dir + "/_srp_meta").first()["bits"] == want_bits
+
+
+def test_pq_rebuild_deletes_fully_superseded_code_partitions(
+    spark, tmp_path
+):
+    """r12 ADVICE: a batch whose EVERY id re-arrives corrected in a
+    later batch contributes zero rows to the rebuild's staged output,
+    so dynamic partition overwrite alone would leave its old
+    codes/batch_id=N partition standing — rows encoded under the OLD
+    books, duplicate vec_ids in the index.  The rebuild must delete
+    such partitions and the published index must carry exactly one
+    code set per archived id."""
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+
+    dim = 8
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], EMB_SCHEMA
+    )
+    # the SAME ids 0..23, all corrected into a far cluster -> batch 0
+    # is fully superseded AND the shift forces a rebuild
+    b2 = spark.createDataFrame(
+        [(i, [1000.0 + float(i % 3)] * dim) for i in range(24)],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(recon_ppm_threshold=200000)
+
+    _land(tmp_path, src_dir, b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    assert glob.glob(idx + "/codes/batch_id=0/*.parquet")
+
+    _land(tmp_path, src_dir, b2, "b2")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src_dir), idx, ckpt, **args)
+    assert len(spark.read.parquet(idx + "/_rebuilds").collect()) == 1
+    # the fully-superseded partition is GONE, not a stale old-book copy
+    assert not glob.glob(idx + "/codes/batch_id=0")
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.select("vec_id").distinct().count() == 24
+    per_id = codes.groupBy("vec_id").count().select("count").distinct()
+    assert [r["count"] for r in per_id.collect()] == [2]  # m=2 at dim 8
+    assert codes.select("batch_id").distinct().collect()[0][0] == 1
+    # and the published codes decode against the PUBLISHED books
+    from experts_etl_spark.llm.pq import pq_recon_ppm
+
+    corpus = spark.read.parquet(idx + "/_embeddings").filter(
+        F.col("batch_id") == 1
+    ).drop("batch_id")
+    books = spark.read.parquet(idx + "/_books")
+    assert pq_recon_ppm(corpus, books, "vec_id", "embedding") <= 200000
+
+
+def test_pq_bootstrap_exemption_is_content_based_not_batch_id(
+    spark, tmp_path
+):
+    """r12 ADVICE: foreachBatch ids restart at 0 under a fresh
+    checkpoint dir, so the bootstrap drift-check exemption must key on
+    the bootstrap batch's CONTENT, not its batch_id — the first batch
+    of genuinely NEW drifting data in a re-pointed run (batch_id 0 ==
+    bootstrap id) must still arm the check and fire the rebuild."""
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+
+    dim = 8
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], EMB_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, [1000.0 + float(i % 3)] * dim) for i in range(24)],
+        EMB_SCHEMA,
+    )
+    src1 = tmp_path / "src1"
+    src1.mkdir()
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    idx = str(tmp_path / "index")
+    args = dict(recon_ppm_threshold=200000)
+
+    _land(tmp_path, src1, b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(
+        spark, str(src1), idx, str(tmp_path / "ckpt1"), **args
+    )
+    assert not glob.glob(idx + "/_rebuilds/*")
+
+    # re-pointed run: fresh source + fresh checkpoint, SAME index.
+    # b2 arrives as batch_id 0 — the bootstrap id — but its content
+    # differs, so drift must be measured and the rebuild must fire.
+    _land(tmp_path, src2, b2, "b2")
+    run_streaming_pq_ingest_with_rebuild(
+        spark, str(src2), idx, str(tmp_path / "ckpt2"), **args
+    )
+    audit = spark.read.parquet(idx + "/_rebuilds").collect()
+    assert len(audit) == 1 and audit[0]["pre_ppm"] > 200000
+
+
+def test_tick_probes_meta_width_even_with_maintenance_off(spark, tmp_path):
+    """r12 ADVICE: a store re-widened under sem_occupancy_limit must
+    be probed at its _srp_meta width by EVERY later run — including
+    one with the limit unset — or the precomputed-bucket join runs at
+    mismatched widths and semantic duplicates silently leak."""
+    from experts_etl_spark.llm.similarity import auto_srp_bits
+
+    def _words(tag):
+        return [f"{tag}{i:03d}" for i in range(80)]
+
+    dim = 32
+    b1 = spark.createDataFrame(
+        [_doc(i, _words(f"uno{i}")) for i in range(20)], DOC_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [_doc(100, _words("dup")), _doc(101, _words("nov"))], DOC_SCHEMA
+    )
+
+    def onehot(j):
+        v = [0.0] * dim
+        v[j] = 1.0
+        return v
+
+    embs = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(20)]
+        + [(100, onehot(0)), (101, onehot(25))],
+        EMB_SCHEMA,
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    emb_dir = tmp_path / "embs"
+    embs.write.parquet(str(emb_dir))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _tick(limit):
+        run_streaming_tick(
+            spark,
+            str(src_dir),
+            str(emb_dir),
+            out,
+            ckpt,
+            sem_bits=2,
+            sem_occupancy_limit=limit,
+        )
+
+    # tick 1 WITH maintenance: 20 keepers > 4 * 2^2 -> store re-widens
+    _land(tmp_path, src_dir, b1, "b1")
+    _tick(4)
+    store_dir = out + "/_kept_embeddings"
+    want_bits = min(auto_srp_bits(20), dim)
+    assert spark.read.parquet(store_dir + "/_srp_meta").first()[
+        "bits"
+    ] == want_bits > 2
+
+    # tick 2 with maintenance OFF: the probe must still resolve the
+    # meta width — doc 100 (copy of doc 0's embedding) rejected
+    _land(tmp_path, src_dir, b2, "b2")
+    _tick(None)
+    r2 = _reasons(spark, {"out": out}, 1)
+    assert r2[100] == "semantic_duplicate"
+    assert r2[101] is None
+    # and the new partition's buckets were written at the meta width
+    from experts_etl_spark.llm.similarity import srp_bucket
+
+    store = spark.read.parquet(store_dir)
+    assert store.filter(
+        F.col("bucket") != srp_bucket(F.col("embedding"), want_bits)
+    ).count() == 0
