@@ -4070,6 +4070,290 @@ def curation_tick_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed
 
 
+# ---------------------------------------------------------------------------
+# Self-maintaining stores: the maintenance arms gated (r12 verdict #5)
+# ---------------------------------------------------------------------------
+
+# One SRP bucket expression at a width read from a scalar-subquery CTE
+# (the _SRP macro generalized to caller-chosen widths).
+def _srp_at(width_sql: str) -> str:
+    return f"""CAST(list_sum(list_transform(range(1, {width_sql} + 1),
+      i -> CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT)"""
+
+
+# Rebuild-path PQ training stride: llm/pq.py:auto_pq_train_mod over the
+# post-drift corpus CTE `n` — ~16 training vectors per codeword, k
+# capped at 256 (the _TRAIN_MOD pattern for the PQ trainer).
+_PQ_TRAIN_MOD_N = (
+    "(SELECT greatest(1, count(*) // (16 * least(greatest("
+    "CAST(2 ** (length(bin(count(*) // 16)) - 1) AS BIGINT), 16), 256)))"
+    " FROM n)"
+)
+
+_SELFMAINT_ORACLE = f"""
+    WITH RECURSIVE
+    par AS MATERIALIZED (
+      SELECT count(*) AS n, 4 * count(*) // 5 AS cut,
+             max(len(embedding)) AS d,
+             least(greatest(length(bin(
+               (count(*) - 4 * count(*) // 5) // 8)), 4), 16) AS bits0
+      FROM embeddings
+    ),
+    ne AS MATERIALIZED (
+      SELECT vec_id, embedding, q, list_dot_product(q, q) AS n2 FROM (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS DOUBLE)) AS q
+        FROM embeddings)
+    ),
+    -- archive history: sequential greedy at the CREATION width bits0
+    ab AS MATERIALIZED (
+      SELECT ne.vec_id, ne.q, ne.n2,
+             {_srp_at('(SELECT bits0 FROM par)')} AS bucket
+      FROM ne, par WHERE ne.vec_id < par.cut
+    ),
+    ael AS MATERIALIZED (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM ab a JOIN ab b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    ),
+    ast(it, v, s) AS (
+      SELECT 0, vec_id, 'u' FROM ab
+      UNION ALL
+      SELECT s.it + 1, s.v,
+        CASE WHEN coalesce(a.keptn, 0) > 0 THEN 'd'
+             WHEN coalesce(a.undecn, 0) = 0 THEN 'k'
+             ELSE 'u' END
+      FROM ast s
+      LEFT JOIN (
+        SELECT ael.hi AS v,
+               sum(CASE WHEN s2.s = 'k' THEN 1 ELSE 0 END) AS keptn,
+               sum(CASE WHEN s2.s = 'u' THEN 1 ELSE 0 END) AS undecn
+        FROM ael JOIN ast s2 ON s2.v = ael.lo
+        GROUP BY ael.hi
+      ) a ON a.v = s.v
+      WHERE EXISTS (SELECT 1 FROM ast WHERE ast.s = 'u')
+    ),
+    akept AS MATERIALIZED (
+      SELECT v AS vec_id FROM ast
+      WHERE it = (SELECT max(it) FROM ast) AND s = 'k'
+    ),
+    -- the occupancy trigger (streaming/semantic.py:srp_rebucket_decision,
+    -- occupancy_limit=2): re-widen to auto_srp_bits(n_kept) dim-capped
+    wid AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT count(*) FROM akept)
+                       > 2 * (CAST(1 AS BIGINT) << par.bits0)
+                  THEN greatest(least(least(greatest(length(bin(
+                         (SELECT count(*) FROM akept) // 8)), 4), 16),
+                         par.d), par.bits0)
+                  ELSE par.bits0 END AS bits1
+      FROM par
+    ),
+    -- store re-bucketed at bits1; batch probes at bits1
+    sb AS MATERIALIZED (
+      SELECT ne.vec_id, ne.q, ne.n2,
+             {_srp_at('(SELECT bits1 FROM wid)')} AS bucket
+      FROM ne JOIN akept USING (vec_id)
+    ),
+    bb AS MATERIALIZED (
+      SELECT ne.vec_id, ne.q, ne.n2,
+             {_srp_at('(SELECT bits1 FROM wid)')} AS bucket
+      FROM ne, par WHERE ne.vec_id >= par.cut
+    ),
+    shits AS MATERIALIZED (
+      SELECT DISTINCT b.vec_id
+      FROM bb b JOIN sb a
+        ON (b.bucket = a.bucket
+            OR ({_H1.format(x='xor(b.bucket, a.bucket)')}))
+      WHERE list_dot_product(b.q, a.q) / sqrt(b.n2 * a.n2) >= 0.35
+    ),
+    elig AS MATERIALIZED (
+      SELECT vec_id FROM bb
+      WHERE vec_id NOT IN (SELECT vec_id FROM shits)
+    ),
+    bel AS MATERIALIZED (
+      SELECT a.vec_id AS lo, b.vec_id AS hi
+      FROM bb a JOIN bb b
+        ON (a.bucket = b.bucket
+            OR ({_H1.format(x='xor(a.bucket, b.bucket)')}))
+       AND a.vec_id < b.vec_id
+      WHERE a.vec_id IN (SELECT vec_id FROM elig)
+        AND b.vec_id IN (SELECT vec_id FROM elig)
+        AND list_dot_product(a.q, b.q) / sqrt(a.n2 * b.n2) >= 0.35
+    ),
+    bst(it, v, s) AS (
+      SELECT 0, vec_id, 'u' FROM elig
+      UNION ALL
+      SELECT s.it + 1, s.v,
+        CASE WHEN coalesce(a.keptn, 0) > 0 THEN 'd'
+             WHEN coalesce(a.undecn, 0) = 0 THEN 'k'
+             ELSE 'u' END
+      FROM bst s
+      LEFT JOIN (
+        SELECT bel.hi AS v,
+               sum(CASE WHEN s2.s = 'k' THEN 1 ELSE 0 END) AS keptn,
+               sum(CASE WHEN s2.s = 'u' THEN 1 ELSE 0 END) AS undecn
+        FROM bel JOIN bst s2 ON s2.v = bel.lo
+        GROUP BY bel.hi
+      ) a ON a.v = s.v
+      WHERE EXISTS (SELECT 1 FROM bst WHERE bst.s = 'u')
+    ),
+    dec AS MATERIALIZED (
+      SELECT vec_id, FALSE AS kept FROM shits
+      UNION ALL
+      SELECT v AS vec_id, s = 'k' AS kept FROM bst
+      WHERE it = (SELECT max(it) FROM bst)
+    ),
+    -- PQ rebuild: the drifted batch (a 1/128-rescaled upstream encoder)
+    -- forces the retrain; books come from the POST-drift corpus under
+    -- the rebuild path's auto train stride (tm=1 at gate sizes; the
+    -- filter states the rule for any size — ids here are dense, so the
+    -- sparse-id density fallback is inert by construction)
+    n AS MATERIALIZED (
+      SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM (
+        SELECT ne.vec_id, ne.q FROM ne, par WHERE ne.vec_id < par.cut
+        UNION ALL
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) / 128 * 10000000) AS BIGINT) AS DOUBLE)) AS q
+        FROM embeddings, par WHERE vec_id >= par.cut)
+    ),
+    {_PQ_SUBS},
+    tsubs AS MATERIALIZED (
+      SELECT subs.* FROM subs
+      WHERE vec_id % {_PQ_TRAIN_MOD_N} = 0
+         OR vec_id % {_PQ_CODE_MOD} = 0
+    ),
+    pc0 AS (SELECT sub_id, vec_id AS code_id, sq AS cq,
+                   list_dot_product(sq, sq) AS cn2
+            FROM subs WHERE vec_id % {_PQ_CODE_MOD} = 0),
+    {_pq_iter_sql('pc0', 1, src='tsubs')},
+    {_pq_iter_sql('pc1', 2, src='tsubs')},
+    enc AS (SELECT vec_id, sub_id, code_id FROM (
+      SELECT s.vec_id, s.sub_id, c.code_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+               ORDER BY c.cn2 - 2 * list_dot_product(s.sq, c.cq) ASC,
+                        c.code_id) AS rn
+      FROM subs s JOIN pc2 c ON s.sub_id = c.sub_id) WHERE rn = 1)
+    SELECT d2.vec_id, d2.kept, e.sub_id, e.code_id
+    FROM dec d2 JOIN enc e USING (vec_id)
+    """
+
+
+@query("curation_tick_selfmaint", _SELFMAINT_ORACLE)
+def curation_tick_selfmaint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH store-maintenance arms crossed in one gated execution path
+    (r12 verdict next #5): the batch's decisions are made against a
+    kept-embedding store that RE-BUCKETED mid-history, and its ANN
+    codes come from codebooks the drift trigger REBUILT — the oracle
+    recomputes the whole history independently, so the driver row
+    hash-pins the maintained state, not just the steady state.
+
+    Story (the deployment timeline, batch-expressed): the store was
+    created when the corpus was one-tick-sized (creation width
+    ``auto_srp_bits(batch)``); the archive (first 4/5 of the id range)
+    accrued its kept set sequentially at that width; by today the
+    occupancy trigger (``streaming/semantic.py:srp_rebucket_decision``,
+    the deployed rule, occupancy_limit=2) fires and the store
+    re-widens to ``auto_srp_bits(n_kept)`` (dim-capped) — today's
+    batch (last 1/5) probes the RE-BUCKETED index at the new width
+    through ``bucketed_cross_hits``'s precomputed-bucket arm, exactly
+    as a post-rebucket streaming tick does.  Meanwhile the batch's
+    embeddings arrive RESCALED 1/128 (a swapped upstream encoder — the
+    classic drift), the standing archive-trained books measure far
+    over the 200000-ppm drift threshold (``pq_recon_ppm``, the gated
+    ``ann_pq_recon_error`` scalar), and the rebuild retrains on the
+    post-drift corpus with the rebuild path's ``train_mod="auto"``
+    stride (= full at gate sizes; the oracle states the stride rule).
+    If either arm failed to fire, the output hashes differently: codes
+    under un-rebuilt books or decisions at the stale width cannot
+    match the oracle.
+
+    Returns one row per (batch vector, subspace): (vec_id, kept,
+    sub_id, code_id) — the semantic decision at the re-bucketed width
+    joined with the PQ codes under the rebuilt books.
+
+    Scale shape: the archive history is the gated incremental
+    operator's contract (store priming); the probe is batch×store
+    bucket-joined; training is bounded m·k dots per vector with the
+    k=256 cap; nothing all-pairs.  The streaming twins
+    (``maybe_rebucket_srp_store`` / ``maybe_rebuild_pq_index``) run
+    the same rules against persisted stores with crash-safe publishes
+    (tests/test_streaming_semantic.py, tests/test_streaming_tick.py).
+    """
+    from experts_etl_spark.llm.pq import (
+        pq_encode_incremental,
+        pq_recon_ppm,
+        pq_train,
+    )
+    from experts_etl_spark.llm.similarity import (
+        auto_srp_bits,
+        semantic_dedup_incremental,
+        semantic_dedup_sequential,
+        srp_bucket,
+    )
+    from experts_etl_spark.streaming.semantic import srp_rebucket_decision
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cut = 4 * n // 5
+    dim_row = e.select(F.size(F.col("embedding")).alias("d")).first()
+    dim = int(dim_row["d"])
+    archive = e.filter(F.col("vec_id") < cut).select("vec_id", "embedding")
+    batch = e.filter(F.col("vec_id") >= cut).select("vec_id", "embedding")
+
+    # --- SRP maintenance arm -------------------------------------------
+    bits0 = auto_srp_bits(n - cut)  # creation width: one tick's corpus
+    kept_arch = semantic_dedup_sequential(
+        archive, "vec_id", "embedding", 0.35, bits=bits0
+    )
+    store = archive.join(
+        kept_arch.filter(F.col("kept")).select("vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    n_kept = store.count()
+    bits1 = srp_rebucket_decision(n_kept, bits0, 2, dim)
+    # the re-bucketed persisted index: bucket precomputed at bits1
+    store_indexed = store.withColumn(
+        "bucket", srp_bucket(F.col("embedding"), bits1)
+    )
+    decisions = semantic_dedup_incremental(
+        batch, store_indexed, "vec_id", "embedding", 0.35, bits1
+    )
+
+    # --- PQ rebuild arm --------------------------------------------------
+    drift_batch = batch.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / F.lit(128.0)
+        ).alias("embedding"),
+    )
+    _, books_arch = pq_train(
+        archive, "vec_id", "embedding", train_mod="auto"
+    )
+    books_arch = books_arch.localCheckpoint(eager=True)
+    ppm = pq_recon_ppm(drift_batch, books_arch, "vec_id", "embedding")
+    if ppm > 200000:  # the deployed drift trigger (maybe_rebuild_pq_index)
+        corpus2 = archive.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(drift_batch)
+        _, books = pq_train(
+            corpus2, "vec_id", "embedding", train_mod="auto"
+        )
+        books = books.localCheckpoint(eager=True)
+    else:  # pragma: no cover - the rescale drifts by construction
+        books = books_arch
+    codes = pq_encode_incremental(
+        drift_batch, books, "vec_id", "embedding"
+    ).select("vec_id", "sub_id", "code_id")
+
+    return decisions.join(codes, "vec_id").select(
+        "vec_id", "kept", "sub_id", "code_id"
+    )
+
+
 # Sampled-corpus SRP recall audit (r10 verdict wrong #2): the bits
 # rule derived over the SAMPLE, exactly as the Spark default does.
 _BITS_S4 = (

@@ -176,19 +176,40 @@ GATE_ORDER = [
     # dedupe_keep_best, reference_entry_selection, multiset_except):
     # each keeps its fresh green r11 row against an UNCHANGED
     # query+oracle, so the r2-r12 union invariant holds.
-    "embedding_near_dup",        # rotation: r3/r4 row (SRP pair stage)
-    "identity_assembly",         # rotation: r3 row (F4 F5 F6)
-    "state_fanout_pivot",        # rotation: r3 row (F12)
-    "snapshot_delta",            # rotation: r3 row (X1 X2)
-    "pure_user_sync_xml",        # rotation: r3-vintage (S7/F14 2nd template)
+    # --- round-13 rotation ----------------------------------------------
+    # IN: the NEW r13 query (gated on arrival per the hygiene
+    # invariant: curation_tick_selfmaint — both store-maintenance arms
+    # crossed in one oracle-pinned path, r12 verdict next #5) and the
+    # EIGHT remaining r3-vintage rows (r12 verdict next #1 — this
+    # clears the staleness tail completely: after r13 every gated row
+    # is ≤ 9 rounds old).  OUT — every retiree keeps its fresh green
+    # r12 row against an UNCHANGED query+oracle, so the r2-r13 union
+    # invariant holds: the five r12 rotation singles
+    # (embedding_near_dup — the SRP pair stage stays driver-run inside
+    # the two gated SemDeDup composites and the new selfmaint row;
+    # identity_assembly; state_fanout_pivot — F12 also inside the
+    # gated pub_cycle; snapshot_delta; pure_user_sync_xml — S7/F14
+    # stay gated via person_cycle_xml) and four r12-refreshed
+    # composites whose operators keep in-window proof elsewhere:
+    # existence_gates (J6 via pub_cycle; J9/C6 unchanged since r2),
+    # merge_upsert_freshness (C5 via cdc_end_to_end, still gated),
+    # person_360 (§3.2 assembly via person_assembly_cycle, still
+    # gated), primary_event_election (W8 via person_assembly_cycle;
+    # A9 unchanged since r2).
+    "curation_tick_selfmaint",   # NEW r13: SRP re-bucket + PQ rebuild arms
+    "association_resolution_veto",  # rotation: r3 row (J7)
+    "buffer_archival",           # rotation: r3 row (S8 M3 M9)
+    "cascade_delete_children",   # rotation: r3 row (P2 M6)
+    "dim_lookup_quarantine",     # rotation: r3 row (S2 J1)
+    "enrichment_left_join",      # rotation: r3 row (J4)
+    "merged_uuid_cleanup",       # rotation: r3 row (M7)
+    "overwrite_child_sets",      # rotation: r3 row (M5)
+    "owner_reassignment",        # rotation: r3 row (M8)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
-    "merge_upsert_freshness",   # M2 M4 C5
-    "existence_gates",          # J6 J9 C6 (merged)
     "person_cycle_xml",         # F14 S7 + §3.2+§3.4 composite
     "tree_nested_set",          # G1 G2 G3 J10 (composes tree_closure)
     "person_assembly_cycle",    # §3.2 assembly
-    "person_360",               # §3.2 end-to-end + A10
     "pub_cycle",                # pub transformer: P7 J6 J7 J8 M5 F11 F12
     "skew_tolerant_counts",     # salting / two-stage agg
     "user_sessions",            # sessionize over events (bench headline)
@@ -216,7 +237,6 @@ GATE_ORDER = [
     #  sf0.001 parity every pytest run)
     "cdc_compaction",           # C3 C4 W7
     "override_coalesce",        # J2 J3
-    "primary_event_election",   # A9 W8
 ]
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 _missing = [n for n in GATE_ORDER if n not in _ALL_QUERIES]

@@ -14,7 +14,7 @@ import itertools
 from experts_etl_spark.plans import registry
 
 # Maintained NEXT TO the registry: bump when registering a query.
-EXPECTED_TOTAL = 130  # r11: +curation_tick_pipeline +ann_recall_sampled
+EXPECTED_TOTAL = 131  # r13: +curation_tick_selfmaint (maintenance arms)
 GATE_WINDOW = 50
 
 
