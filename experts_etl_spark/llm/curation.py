@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected edge list into components via hash-min label
     propagation: every node starts labelled with its own id; each round a
@@ -45,6 +49,11 @@ def connected_components(
     nonzero chance of a false fixpoint.  The changed-count is a sum of
     0/1 ints, bounded by the row count, and is an exact change
     detector, so convergence needs no confirmation round.
+
+    ``stats`` (optional dict) records diagnostics: ``rounds`` (loop
+    iterations to the confirmed fixpoint) and ``sym_edges`` (the
+    symmetrized edge volume every round shuffles) — the measurement
+    hook behind SCALE.md's per-leg CC attribution.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -63,7 +72,12 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
+    if stats is not None:
+        stats["sym_edges"] = sym.count()
+        stats["rounds"] = 0
     for _ in range(max_iter):
+        if stats is not None:
+            stats["rounds"] += 1
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")

@@ -201,7 +201,12 @@ def maybe_rebuild_pq_index(
     )
     from experts_etl_spark.sources.sinks import overwrite_partitions
 
-    raw = spark.read.parquet(arch_dir)
+    from experts_etl_spark.streaming.stores import read_store
+
+    # segment-aware archive read: a compacted kept-embedding store
+    # (streaming/stores.py) keeps batch_id as a column in its folded
+    # segment, so latest-batch-wins compaction below works unchanged
+    raw = read_store(spark, arch_dir)
     w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
     corpus = (
         raw.withColumn("_rn", F.row_number().over(w))

@@ -248,14 +248,16 @@ def run_streaming_curation(
         # the dedup gate FAIL-CLOSED: only "path not there yet" skips
         # the probe; a real read error (corrupt file, transient store
         # failure) propagates instead of silently admitting duplicates.
+        from experts_etl_spark.streaming.stores import read_store
+
         jvm = spark_b._jvm
         hconf = spark_b._jsc.hadoopConfiguration()
-        fp_path = jvm.org.apache.hadoop.fs.Path(fp_dir)
         keep_path = jvm.org.apache.hadoop.fs.Path(keep_dir)
-        fs = fp_path.getFileSystem(hconf)
-        if fs.exists(fp_path):
-            kept_fps = spark_b.read.parquet(fp_dir)
-        elif fs.exists(keep_path):
+        fs = keep_path.getFileSystem(hconf)
+        # read_store carries the replay exclusion (batch_id != current)
+        # across BOTH segments of a compacted store (streaming/stores.py)
+        kept_fps = read_store(spark_b, fp_dir, exclude_batch_id=batch_id)
+        if kept_fps is None and fs.exists(keep_path):
             # Legacy keep_dir predating the side table: backfill it once
             # from the kept corpus (batch_id=-1 never collides with a
             # real micro-batch id), then probe compactly forever after.
@@ -274,31 +276,20 @@ def run_streaming_curation(
             legacy.write.mode("overwrite").parquet(
                 os.path.join(fp_dir, "batch_id=-1")
             )
-            kept_fps = spark_b.read.parquet(fp_dir)
-        else:
-            kept_fps = None
-        if kept_fps is not None and "batch_id" in kept_fps.columns:
-            # Exclude THIS batch's own partition: an at-least-once
-            # replay of batch N must not read its first attempt's
-            # rows and self-reject everything as 'duplicate' (which
-            # would then overwrite the keep partition with nothing).
-            kept_fps = kept_fps.filter(F.col("batch_id") != F.lit(batch_id))
+            kept_fps = read_store(
+                spark_b, fp_dir, exclude_batch_id=batch_id
+            )
         staged = route_documents(
             batch, quality_min, kept_fps
         ).localCheckpoint(
             eager=True  # one pass feeds all three sinks; lineage reads fp_dir
         )
         if near_dup_threshold is not None:
-            sig_path = jvm.org.apache.hadoop.fs.Path(sig_dir)
-            sfs = sig_path.getFileSystem(hconf)
-            store = None
-            if sfs.exists(sig_path):
-                store = spark_b.read.parquet(sig_dir)
-                if "batch_id" in store.columns:
-                    # same at-least-once replay exclusion as the fp probe
-                    store = store.filter(
-                        F.col("batch_id") != F.lit(batch_id)
-                    ).drop("batch_id")
+            # same at-least-once replay exclusion as the fp probe
+            store = read_store(
+                spark_b, sig_dir, exclude_batch_id=batch_id,
+                drop_batch_id=True,
+            )
             staged, sigs = apply_near_dup(
                 staged, near_dup_threshold, index_signatures=store
             )

@@ -157,6 +157,8 @@ def run_streaming_tick(
     pq_m: int | None = None,
     pq_recon_ppm_threshold: int | None = None,
     sem_occupancy_limit: int | None = None,
+    compact_after: int | None = None,
+    retain_decisions: int | None = None,
     window_words: int = 5,
     max_sf: int = 2,
     max_files_per_trigger: int | None = None,
@@ -234,20 +236,14 @@ def run_streaming_tick(
     stream = reader.parquet(docs_src)
 
     def _read_store(spark_b: SparkSession, path: str, batch_id: int):
-        """Fail-closed Hadoop-FS probe with the at-least-once replay
-        exclusion (streaming/curation.py discipline)."""
-        jvm = spark_b._jvm
-        hconf = spark_b._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(hconf)
-        if not fs.exists(p):
-            return None
-        df = spark_b.read.parquet(path)
-        if "batch_id" in df.columns:
-            df = df.filter(F.col("batch_id") != F.lit(batch_id)).drop(
-                "batch_id"
-            )
-        return df
+        """Fail-closed probe with the at-least-once replay exclusion,
+        across BOTH segments of a compacted store
+        (streaming/stores.py:read_store)."""
+        from experts_etl_spark.streaming.stores import read_store
+
+        return read_store(
+            spark_b, path, exclude_batch_id=batch_id, drop_batch_id=True
+        )
 
     def tick(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
@@ -389,6 +385,28 @@ def run_streaming_tick(
                             vec_col="embedding",
                             m=pq_m,
                         )
+        # --- store lifecycle (r12 verdict missing #1 / next #8) -------
+        if compact_after is not None:
+            from experts_etl_spark.streaming.stores import (
+                maybe_compact_store,
+            )
+
+            for path, key in (
+                (dirs["fp"], "fp"),
+                (dirs["sig"], "doc_id"),
+                (dirs["win"], "win"),
+                (dirs["emb"], "vec_id"),
+            ):
+                maybe_compact_store(
+                    spark_b, path, key, max_live_partitions=compact_after
+                )
+        if retain_decisions is not None:
+            from experts_etl_spark.streaming.stores import (
+                retain_partitions,
+            )
+
+            for sink in (dirs["keep"], dirs["reject"]):
+                retain_partitions(spark_b, sink, retain_decisions)
 
     (
         stream.writeStream.foreachBatch(tick)
