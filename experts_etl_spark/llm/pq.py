@@ -133,6 +133,12 @@ def _resolve_m(emb: DataFrame, vec_col: str, m: int | None) -> int:
     if m is not None:
         return m
     row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            "cannot self-scale m from an EMPTY embedding frame — an "
+            "all-rejected batch has no dimension to read; callers must "
+            "skip the encode (streaming/tick.py does) or pass m"
+        )
     return auto_pq_m(int(row["d"]))
 
 

@@ -353,7 +353,12 @@ def run_streaming_tick(
                     spark_b, dirs["emb"], bits_cur,
                     sem_occupancy_limit, emb_meta_row,
                 )
-            if books_path is not None:
+            # an all-rejected batch is a REAL state (a fully-duplicate
+            # crawl slice): nothing to encode, nothing to drift-check —
+            # skip the PQ leg instead of letting the m-resolution head
+            # read crash on an empty frame (both attempts of a replay
+            # skip identically, so idempotency holds)
+            if books_path is not None and kept_embs.first() is not None:
                 books = spark_b.read.parquet(books_path)
                 (
                     pq_encode_incremental(

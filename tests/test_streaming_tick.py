@@ -717,3 +717,64 @@ def test_tick_probes_meta_width_even_with_maintenance_off(spark, tmp_path):
     assert store.filter(
         F.col("bucket") != srp_bucket(F.col("embedding"), want_bits)
     ).count() == 0
+
+
+def test_tick_all_rejected_batch_skips_pq_leg(spark, tmp_path):
+    """An all-rejected batch (a fully-duplicate or junk crawl slice) is
+    a real state: the PQ leg must skip (nothing to encode or
+    drift-check) instead of crashing the m-resolution head read on an
+    empty frame — found by the r13 selfmaint probe at 27x."""
+    b1 = spark.createDataFrame(
+        [_doc(0, WORDS_A), _doc(1, WORDS_B)], DOC_SCHEMA
+    )
+    # batch 2: one exact copy and one junk doc -> zero keepers
+    b2 = spark.createDataFrame(
+        [_doc(10, WORDS_A), _doc(11, ["junk!!!", "short???"])], DOC_SCHEMA
+    )
+    embs = spark.createDataFrame(
+        [_emb(0, 0), _emb(1, 1), _emb(10, 2), _emb(11, 3)], EMB_SCHEMA
+    )
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    emb_dir = tmp_path / "embs"
+    embs.write.parquet(str(emb_dir))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    from experts_etl_spark.llm.pq import pq_train
+
+    books_dir = str(tmp_path / "books")
+    # code_mod=1: every batch-1 vector seeds its own codeword, so the
+    # standing books represent batch 1 exactly (intrinsic ppm 0) and
+    # the drift trigger stays quiet — this test pins the EMPTY-batch
+    # path, not the rebuild
+    _, books = pq_train(
+        embs.filter(F.col("vec_id") < 2), "vec_id", "embedding",
+        code_mod=1, iters=1,
+    )
+    books.write.parquet(books_dir)
+
+    def _tick():
+        run_streaming_tick(
+            spark, str(src_dir), str(emb_dir), out, ckpt,
+            sem_threshold=1.5, books_path=books_dir,
+            pq_recon_ppm_threshold=200000,
+        )
+
+    _land(tmp_path, src_dir, b1, "b1")
+    _tick()
+    _land(tmp_path, src_dir, b2, "b2")
+    _tick()  # must not raise
+    r2 = _reasons(spark, {"out": out}, 1)
+    assert r2 == {10: "duplicate", 11: "low_quality"}
+    # batch 0 encoded; batch 1 wrote NO pq partition (nothing kept)
+    pq = spark.read.parquet(out + "/_pq_index")
+    assert sorted(
+        r["batch_id"] for r in pq.select("batch_id").distinct().collect()
+    ) == [0]
+    # replay: byte-stable, still no crash
+    before = sorted(map(tuple, pq.collect()))
+    _tick()
+    assert sorted(
+        map(tuple, spark.read.parquet(out + "/_pq_index").collect())
+    ) == before

@@ -112,7 +112,7 @@ def main() -> None:
     # tick so each run_streaming_tick call drains exactly one batch
     for i in range(5):
         generate(f"{root}/b{i}", docs=args.docs1, vecs=args.vecs1,
-                 seed=100 + i, mode="uniform")
+                 seed=100 + i, mode="uniform", corpus="heaps")
 
     def gen_batch(i: int, drift: bool = False):
         d = f"{root}/b{i}"
@@ -143,8 +143,12 @@ def main() -> None:
 
     for mult in mults:
         d = f"{root}/x{mult}"
+        # heaps corpus: scale-invariant chance collisions (the
+        # representative fixture) — the fixed-vocab corpus saturates at
+        # high mults and rejects whole batches as near-duplicates,
+        # which would measure an empty pipeline instead of a probe
         generate(d, docs=args.docs1 * mult, vecs=args.vecs1 * mult,
-                 seed=42, mode="uniform")
+                 seed=42, mode="uniform", corpus="heaps")
         docs = spark.read.parquet(f"{d}/documents.parquet")
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         bits_m = auto_srp_bits(args.vecs1 * mult)
@@ -233,7 +237,7 @@ def main() -> None:
         prime(frag, bits_m, n_dirs=mult)
         setup_embs(frag)
         times = []
-        for i in range(3):
+        for i in range(2):
             src = land(frag, i)
             times.append(tick(frag, src, f"{frag}/_ckpt"))
         rows["tick_stream_frag_probe"][f"t{mult}x"] = round(min(times), 3)
@@ -247,7 +251,7 @@ def main() -> None:
             maybe_compact_store(spark, f"{comp}/{sub}", key,
                                 max_live_partitions=1)
         times = []
-        for i in range(3):
+        for i in range(2):
             src = land(comp, i)
             times.append(tick(comp, src, f"{comp}/_ckpt"))
         rows["tick_stream_comp_probe"][f"t{mult}x"] = round(min(times), 3)
