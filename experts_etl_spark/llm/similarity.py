@@ -641,6 +641,14 @@ def ivf_topk(
             # vector crosses the shuffle, vs the window formulation
             # shuffling all |centroids| scored copies and sorting them.
             # Tie-break (max cos, then MIN cent_id) via struct ordering.
+            # (r13 attribution note: this assignment's n·nlist
+            # higher-order-function dot products are the measured
+            # superlinear term of the flat-IVF AUDIT formulation —
+            # nlist ≈ √n makes it n^1.5 by construction; a
+            # scalar-payload + re-join variant measured the SAME time,
+            # so the cost is the dots, not the max_by buffering.
+            # Production searches route the assignment through the
+            # two-level hierarchy (ivf2_index) or IVFADC instead.)
             best = F.max_by(
                 F.struct("cent_id", "_q", "_n2"),
                 F.struct(F.col("_ccos"), (-F.col("cent_id")).alias("_nc")),
