@@ -29,6 +29,22 @@ P31 = (1 << 31) - 1
 MINHASH_A = [((i + 1) * 2654435761) % P31 for i in range(N_MINHASH)]
 MINHASH_B = [((i + 1) * 40503) % P31 for i in range(N_MINHASH)]
 
+# Production band-key frequency cap for the LSH miners (r13 verdict
+# next #1).  The r13 diagnosis (tools/cc_leg_diagnosis.py, SCALE.md
+# §Round-13) measured that on a band-entropy-limited corpus at 81×,
+# 94.7% of banded candidate volume came from band keys matched by >100
+# documents (hottest single key: 1,703 docs → 1.45M pairs), carried by
+# the verify stage as an ~n^1.5 term.  A band key shared by hundreds of
+# documents is a degenerate blocking key (its within-key pair fan-out
+# is quadratic and AQE cannot split an m×m pair blowup), and the docs
+# it would pair are overwhelmingly ALSO paired by their other, rarer
+# bands — the same argument as the Jaccard miners' shingle cap
+# (:func:`with_max_df`, on since r6 with the same constant).  The
+# recall price is measured, not assumed: ``dedup_lsh_recall`` /
+# ``dedup_lsh_recall_sampled`` run THE capped production candidate
+# path against the exact Jaccard truth set on every driver round.
+LSH_MAX_DF = 100
+
 
 def hex60(col: Column) -> Column:
     """First 15 hex digits of md5 as a positive 60-bit bigint —
@@ -328,6 +344,7 @@ def lsh_candidates(
 def minhash_lsh_dedup(
     df: DataFrame | None, text_col: str, id_col: str, threshold: float,
     signatures: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash→LSH→verify: candidates from banding, then exact Jaccard
     scored on the CANDIDATE PAIRS ONLY — two hash joins on doc id plus an
@@ -336,14 +353,21 @@ def minhash_lsh_dedup(
     (:func:`ngram_jaccard_pairs`) is the exact-but-quadratic-ish baseline
     LSH exists to avoid.  Pass ``signatures`` (a
     :func:`signature_shingle_sets` output) to skip the aggregation —
-    the signature-store path; ``df`` may be ``None`` then."""
+    the signature-store path; ``df`` may be ``None`` then.
+
+    ``max_df`` caps degenerate band keys out of the candidate join
+    (:func:`with_max_df`; production value :data:`LSH_MAX_DF`) — the
+    within-key pair fan-out is quadratic, and the r13 diagnosis
+    measured hot keys carrying ~95% of candidate volume at 81× while
+    contributing almost no unique true pairs.  ``None`` keeps the
+    textbook uncapped banding (the ``dedup_minhash_lsh`` baseline)."""
     if signatures is not None:
         sigsets = signatures
     elif df is None:
         raise ValueError("provide df or signatures")
     else:
         sigsets = signature_shingle_sets(df, text_col, id_col)
-    cands = lsh_candidates(sigsets.drop("sh"), id_col)
+    cands = lsh_candidates(sigsets.drop("sh"), id_col, max_df=max_df)
     a = sigsets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
     b = sigsets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
     scored = (
@@ -563,11 +587,20 @@ def incremental_lsh_dedup(
     threshold: float,
     index_signatures: DataFrame | None = None,
     new_signatures: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash-LSH: match a NEW ingest batch against an
     existing INDEX corpus — the daily 100 TB pattern (dedupe today's
     crawl against everything already kept) where re-running the full
     self-join would re-pay the whole corpus every day.
+
+    ``max_df`` caps degenerate band keys (same rationale and constant
+    as :func:`minhash_lsh_dedup`); document frequency is counted over
+    the UNION of both sides' band rows — the exact frequency the
+    symmetric miner would see on index ∪ new, so a corpus-hot key is
+    dropped even when each side alone sits under the cap, and the
+    capped asymmetric join equals the new-vs-index slice of the capped
+    self-join (the ``dedup_incremental_ingest`` oracle's formulation).
 
     Pass ``index_signatures`` — a persisted
     :func:`signature_shingle_sets` output (id, h0..h{n-1}, sh) — to skip
@@ -606,6 +639,21 @@ def incremental_lsh_dedup(
         sig_n = signature_shingle_sets(new_df, text_col, id_col)
     bands_i = band_stack(sig_i.drop("sh"), id_col)
     bands_n = band_stack(sig_n.drop("sh"), id_col)
+    if max_df is not None:
+        # hot set from the UNION (docstring): tiny by construction
+        # (≤ total_band_rows / max_df keys), so the broadcast anti-join
+        # is the same bounded shape as with_max_df's
+        hot = (
+            bands_i.select("band_key")
+            .unionByName(bands_n.select("band_key"))
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("band_key")
+        )
+        hot = F.broadcast(hot)
+        bands_i = bands_i.join(hot, "band_key", "left_anti")
+        bands_n = bands_n.join(hot, "band_key", "left_anti")
     cands = (
         bands_n.alias("n")
         .join(bands_i.alias("i"), on=["band_idx", "band_key"])

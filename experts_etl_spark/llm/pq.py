@@ -286,12 +286,24 @@ def pq_train(
         # count over the id column detects it; under half the dense-id
         # target, fall back to full Lloyd — correctness first, the
         # sampling is only a constant-factor cut.
-        if n_rows == 0:
-            n_rows = emb.count()
-        n_sample = emb.filter(
-            (F.col(id_col) % train_mod == 0)
-            | (F.col(id_col) % code_mod == 0)
-        ).count()
+        in_sample = (F.col(id_col) % train_mod == 0) | (
+            F.col(id_col) % code_mod == 0
+        )
+        if n_rows:
+            # total already computed above — one filtered count only
+            # (r13 ADVICE: don't re-pay the full count)
+            n_sample = emb.filter(in_sample).count()
+        else:
+            # total unknown (explicit code_mod + "auto" never lands
+            # here, but an explicit train_mod int does): ONE fused
+            # aggregate instead of two full-corpus actions (r13 ADVICE)
+            row = emb.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(in_sample.cast("long")), F.lit(0)
+                ).alias("ns"),
+            ).first()
+            n_rows, n_sample = int(row["n"]), int(row["ns"])
         if 2 * n_sample < n_rows // train_mod:
             train_mod = 1
     n = with_quantized(emb, vec_col).select(

@@ -280,6 +280,7 @@ def dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from experts_etl_spark.llm.dedup import (  # noqa: E402
     BAND_ROWS,
+    LSH_MAX_DF,
     MINHASH_A,
     MINHASH_B,
     N_MINHASH,
@@ -301,6 +302,22 @@ _BANDS = "\nUNION ALL\n".join(
     )
     + ")) AS band_key FROM sigs"
     for bi in range(N_MINHASH // BAND_ROWS)
+)
+# Production band-key frequency cap (llm/dedup.py:LSH_MAX_DF, r13
+# verdict next #1): the hot-key set and its anti-join, the exact SQL
+# twin of with_max_df(band_stack(...), "band_key", LSH_MAX_DF) —
+# frequency counted per band_key over ALL band rows, same as the
+# Spark side.  Capped production oracles chain
+# `bands → hot_bands → cbands` and join candidates FROM cbands; the
+# uncapped textbook banding stays in dedup_minhash_lsh's oracle.
+_HOT_BANDS = f"""
+      SELECT band_key
+      FROM (SELECT band_key, count(*) AS df FROM bands GROUP BY 1)
+      WHERE df > {LSH_MAX_DF}
+"""
+_CBANDS = (
+    "SELECT b.* FROM bands b ANTI JOIN hot_bands h"
+    " ON b.band_key = h.band_key"
 )
 
 @query(
@@ -2409,9 +2426,11 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shx AS ({_SHINGLE_X}),
     sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
+    hot_bands AS ({_HOT_BANDS}),
+    cbands AS ({_CBANDS}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
+      FROM cbands a JOIN cbands b USING (band_idx, band_key)
       WHERE a.doc_id < b.doc_id
     ),
     jac AS ({_JACCARD}),
@@ -2447,12 +2466,19 @@ def dedup_cluster_resolution_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-mining variant measures exp ≈ 1.1-1.25 at 9× (per-shingle
     occupancy growth); the banded miner measures exp ≈ 0.7 on the same
     data (SCALE.md), which is the difference between a verification
-    baseline and something you run on 100 TB daily."""
+    baseline and something you run on 100 TB daily.
+
+    r14: the production band-key cap is ON (``max_df=LSH_MAX_DF``) —
+    the r13 diagnosis measured 94.7% of this query's 81× candidate
+    volume coming from band keys matched by >100 docs; the oracle
+    mirrors the cap and ``dedup_lsh_recall`` prices its recall."""
     from experts_etl_spark.llm.curation import resolve_clusters
-    from experts_etl_spark.llm.dedup import minhash_lsh_dedup
+    from experts_etl_spark.llm.dedup import LSH_MAX_DF, minhash_lsh_dedup
 
     d = read_table(spark, sf_dir, "documents")
-    return resolve_clusters(minhash_lsh_dedup(d, "text", "doc_id", 0.5))
+    return resolve_clusters(
+        minhash_lsh_dedup(d, "text", "doc_id", 0.5, max_df=LSH_MAX_DF)
+    )
 
 
 _PII_ENRICHED = """
@@ -2712,9 +2738,11 @@ _FUNNEL_CTES = f"""base AS (
     ),
     sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
+    hot_bands AS ({_HOT_BANDS}),
+    cbands AS ({_CBANDS}),
     cands AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
+      FROM cbands a JOIN cbands b USING (band_idx, band_key)
       WHERE a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM gsh GROUP BY 1),
@@ -2769,12 +2797,19 @@ def _curation_funnel(
     miner, whose Σdf² term is the 100 TB killer).  The exact miner
     survives only inside ``training_dedup_leakage``'s truth side, whose
     whole point is exactness; that audit doubles as the recall check
-    that the banded funnel leaks nothing at gate scale."""
+    that the banded funnel leaks nothing at gate scale.
+
+    r14: the miner runs with the production band-key cap
+    (``max_df=LSH_MAX_DF`` — the r13-measured ~n^1.5 hot-band verify
+    term removed); the leakage audit's exact truth side stays UNCAPPED,
+    so a true pair the cap loses whose docs both survive shows up as
+    ``leaked_pairs > 0`` — the cap's price is audited end-to-end, not
+    assumed."""
     from experts_etl_spark.llm.curation import (
         repetition_metrics as rep,
         resolve_clusters,
     )
-    from experts_etl_spark.llm.dedup import minhash_lsh_dedup
+    from experts_etl_spark.llm.dedup import LSH_MAX_DF, minhash_lsh_dedup
 
     d = (
         read_table(spark, sf_dir, "documents")
@@ -2792,7 +2827,11 @@ def _curation_funnel(
         .localCheckpoint(eager=False)
     )
     losers = (
-        resolve_clusters(minhash_lsh_dedup(gated, "text", "doc_id", 0.5))
+        resolve_clusters(
+            minhash_lsh_dedup(
+                gated, "text", "doc_id", 0.5, max_df=LSH_MAX_DF
+            )
+        )
         .filter(~F.col("is_canonical"))
         .select("doc_id")
     )
@@ -3394,9 +3433,11 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shx AS ({_SHINGLE_X}),
     sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
+    hot_bands AS ({_HOT_BANDS}),
+    cbands AS ({_CBANDS}),
     cands AS (
       SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
-      FROM bands n JOIN bands i USING (band_idx, band_key)
+      FROM cbands n JOIN cbands i USING (band_idx, band_key)
       WHERE n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
     ),
     jac AS ({_JACCARD})
@@ -3415,13 +3456,20 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive (``llm/dedup.py:incremental_lsh_dedup``).  The oracle
     replays banding over the full corpus and filters to the same
     new-vs-index orientation; minhash signatures are per-document, so
-    split-computed Spark signatures match whole-corpus oracle ones."""
-    from experts_etl_spark.llm.dedup import incremental_lsh_dedup
+    split-computed Spark signatures match whole-corpus oracle ones.
+
+    r14: the production band-key cap is ON — frequency counted over
+    index ∪ new (exactly the oracle's whole-corpus ``bands`` CTE), so
+    the capped asymmetric join stays the new-vs-index slice of the
+    capped self-join."""
+    from experts_etl_spark.llm.dedup import LSH_MAX_DF, incremental_lsh_dedup
 
     d = read_table(spark, sf_dir, "documents")
     new_batch = d.filter(F.col("doc_id") % 10 == 7)
     index = d.filter(F.col("doc_id") % 10 != 7)
-    return incremental_lsh_dedup(index, new_batch, "text", "doc_id", 0.5)
+    return incremental_lsh_dedup(
+        index, new_batch, "text", "doc_id", 0.5, max_df=LSH_MAX_DF
+    )
 
 
 def _lsh_recall_frame(d: DataFrame) -> DataFrame:
@@ -3450,9 +3498,14 @@ def _lsh_recall_frame(d: DataFrame) -> DataFrame:
     )
     # THE production candidate path, not a re-implementation: recall
     # measured here is the recall of what minhash_lsh_dedup actually
-    # runs (same banding code, same caps).
+    # runs (same banding code, same caps — r14: including the
+    # production band-key cap, so the price of dropping hot-band-only
+    # pairs is measured against the exact truth on every driver round).
+    from experts_etl_spark.llm.dedup import LSH_MAX_DF
+
     cands = lsh_candidates(
-        signature_shingle_sets(d, "text", "doc_id").drop("sh"), "doc_id"
+        signature_shingle_sets(d, "text", "doc_id").drop("sh"), "doc_id",
+        max_df=LSH_MAX_DF,
     ).localCheckpoint(eager=False)
     found = cands.join(truth, ["id1", "id2"])
     n_truth = truth.agg(F.count(F.lit(1)).alias("n")).select(
@@ -3490,9 +3543,11 @@ def _lsh_recall_frame(d: DataFrame) -> DataFrame:
     shx AS ({_SHINGLE_X}),
     sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
+    hot_bands AS ({_HOT_BANDS}),
+    cbands AS ({_CBANDS}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
+      FROM cbands a JOIN cbands b USING (band_idx, band_key)
       WHERE a.doc_id < b.doc_id
     ),
     jac AS ({_JACCARD}),
@@ -3543,9 +3598,11 @@ def _lsh_recall_sampled_sql(mod: int) -> str:
     shx AS ({_SHINGLE_X}),
     sigs AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id),
     bands AS ({_BANDS}),
+    hot_bands AS ({_HOT_BANDS}),
+    cbands AS ({_CBANDS}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-      FROM bands a JOIN bands b USING (band_idx, band_key)
+      FROM cbands a JOIN cbands b USING (band_idx, band_key)
       WHERE a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -71,7 +71,6 @@ GATE_ORDER = [
     "tfidf_topk_terms",
     "sequence_packing",
     "pii_redaction",
-    "repetition_metrics",
     "training_corpus_pipeline",  # round-6 LSH-default funnel miner
     "corpus_token_stats",
     "dedup_incremental_ingest",
@@ -80,14 +79,12 @@ GATE_ORDER = [
     "encode_token_ids",          # round-6 ids_str hashable projection
     # --- round-5/6 queries ---------------------------------------------
     "training_dedup_leakage",    # funnel audit (now over LSH-mined kept)
-    "curation_stream_routing",   # streaming-curation batch twin
     "dedup_cluster_resolution_lsh",  # CC loop over the LSH miner
     # --- ANN pack -------------------------------------------------------
     "ann_ivf_kmeans",
     "ann_ivf_kmeans_sampled",     # r8: first driver row (sampled training)
     "ann_recall",
     # --- round-8 rotation: first driver rows ---------------------------
-    "dedup_ngram_jaccard",           # r7 prefix-filter rewrite, gated r8
     "dedup_lsh_recall_sampled",      # r9: prefix-mined in-sample truth
     "training_dedup_leakage_sampled",  # Horvitz-Thompson sampled audit
     # --- round-9 rotation ----------------------------------------------
@@ -159,7 +156,6 @@ GATE_ORDER = [
     # training_dedup_leakage audits).
     "curation_tick_pipeline",    # NEW r11: composed incremental tick
     "ann_recall_sampled",        # NEW r11: p=1/4 SRP recall re-audit
-    "ann_topk_pq_adc",           # r11: auto write knobs changed body+oracle
     # --- round-12 rotation ----------------------------------------------
     # IN: five of the thirteen r3-vintage rows (r11 verdict item 5).
     # embedding_near_dup is deliberately among them: bucketed_cross_hits
@@ -197,14 +193,51 @@ GATE_ORDER = [
     # gated), primary_event_election (W8 via person_assembly_cycle;
     # A9 unchanged since r2).
     "curation_tick_selfmaint",   # NEW r13: SRP re-bucket + PQ rebuild arms
-    "association_resolution_veto",  # rotation: r3 row (J7)
-    "buffer_archival",           # rotation: r3 row (S8 M3 M9)
-    "cascade_delete_children",   # rotation: r3 row (P2 M6)
-    "dim_lookup_quarantine",     # rotation: r3 row (S2 J1)
-    "enrichment_left_join",      # rotation: r3 row (J4)
-    "merged_uuid_cleanup",       # rotation: r3 row (M7)
-    "overwrite_child_sets",      # rotation: r3 row (M5)
-    "owner_reassignment",        # rotation: r3 row (M8)
+    # --- round-14 rotation ----------------------------------------------
+    # IN: the TWELVE r4-vintage union rows (r13 verdict next #5 — the
+    # oldest remaining; after r14 every registered query's union row is
+    # ≥ r5).  The round's max_df band-key-cap changes (verdict next #1)
+    # consumed ZERO slots: all seven changed gated queries
+    # (dedup_cluster_resolution_lsh, dedup_incremental_ingest,
+    # training_corpus_pipeline, training_dedup_leakage + _sampled,
+    # dedup_lsh_recall + _sampled) were already in-window, and the two
+    # changed ungated twins (_p8 variants) are UNGATED_BY_DESIGN
+    # templates of gated queries.  OUT — every retiree keeps its fresh
+    # green r13 row against an UNCHANGED query+oracle, so the r2-r14
+    # union invariant holds; in-window operator coverage follows the
+    # r13 precedent (either a denser still-gated query, or an
+    # implementation unchanged since r2-r4 with a fresh union row):
+    #   the eight r13 rotation singles (association_resolution_veto —
+    #     J7 stays gated via pub_cycle; overwrite_child_sets — M5 via
+    #     pub_cycle; buffer_archival, cascade_delete_children,
+    #     dim_lookup_quarantine, enrichment_left_join,
+    #     merged_uuid_cleanup, owner_reassignment — S8/M3/M9, P2/M6,
+    #     S2/J1, J4, M7, M8: r2-era operators untouched since, fresh
+    #     r13 rows, the exact rationale r13 used for existence_gates'
+    #     J9/C6);
+    #   repetition_metrics (the Gopher expression is replayed verbatim
+    #     inside THREE still-gated oracles: training_corpus_pipeline,
+    #     training_dedup_leakage, curation_tick_pipeline);
+    #   curation_stream_routing (the routing decision chain runs inside
+    #     both gated tick composites' stage 1);
+    #   dedup_ngram_jaccard (the prefix-filter miner is the truth side
+    #     of the still-gated dedup_lsh_recall, re-proven on every
+    #     driver run against the naive-join oracle formulation);
+    #   ann_topk_pq_adc (the flat-ADC search runs verbatim inside the
+    #     gated ann_recall_pq's pq_adc arm — the r9 retirement
+    #     rationale, body+oracle unchanged since its r11 re-gating).
+    "customers_per_nation",      # rotation: r4 row (A6)
+    "event_run_groups",          # rotation: r4 row (W2)
+    "stint_splitting",           # rotation: r4 row (W3 P3)
+    "job_end_dates",             # rotation: r4 row (W4 W6 P4)
+    "visibility_rollup",         # rotation: r4 row (A10)
+    "snapshot_new_keys",         # rotation: r4 row (X1)
+    "snapshot_changed_rows",     # rotation: r4 row (X2)
+    "cdc_watermark",             # rotation: r4 row (C1 A1)
+    "cdc_new_versions",          # rotation: r4 row (C2 A2/A3)
+    "gate_passed",               # rotation: r4 row (J6 C6)
+    "gate_deferred",             # rotation: r4 row (J6 C6 deferral)
+    "json_document_parse",       # rotation: r4 row (S6 F13)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "person_cycle_xml",         # F14 S7 + §3.2+§3.4 composite

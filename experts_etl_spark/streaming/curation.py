@@ -112,6 +112,7 @@ def apply_near_dup(
     staged: DataFrame,
     threshold: float,
     index_signatures: DataFrame | None = None,
+    lsh_max_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-duplicate stage over the routing survivors: MinHash-LSH
     pairs WITHIN the batch are resolved to cluster canonicals
@@ -131,7 +132,10 @@ def apply_near_dup(
     incremental_lsh_dedup) — per-batch cost tracks |batch| + matched-
     band volume against the store, never |index|²; in-batch pair
     mining is band-blocked and CC rounds = cluster diameter (2-3 for
-    near-dup cliques)."""
+    near-dup cliques).  ``lsh_max_df`` caps degenerate band keys out
+    of both joins (llm/dedup.py:LSH_MAX_DF — the r13-measured hot-band
+    ~n^1.5 verify term; production ticks should pass it, the gated
+    batch twins pin the uncapped default)."""
     from experts_etl_spark.llm.curation import resolve_clusters
     from experts_etl_spark.llm.dedup import (
         incremental_lsh_dedup,
@@ -144,7 +148,8 @@ def apply_near_dup(
     )
     sigs = signature_shingle_sets(cand, "text", "doc_id")
     in_pairs = minhash_lsh_dedup(
-        None, "text", "doc_id", threshold, signatures=sigs
+        None, "text", "doc_id", threshold, signatures=sigs,
+        max_df=lsh_max_df,
     )
     losers = (
         resolve_clusters(in_pairs)
@@ -161,6 +166,7 @@ def apply_near_dup(
                 threshold,
                 index_signatures=index_signatures,
                 new_signatures=sigs,
+                max_df=lsh_max_df,
             )
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
@@ -190,6 +196,7 @@ def run_streaming_curation(
     fp_dir: str | None = None,
     near_dup_threshold: float | None = None,
     sig_dir: str | None = None,
+    lsh_max_df: int | None = None,
 ) -> None:
     """Drain ``src`` (``availableNow``) routing every document to keep
     or reject with a recorded reason.
@@ -291,7 +298,8 @@ def run_streaming_curation(
                 drop_batch_id=True,
             )
             staged, sigs = apply_near_dup(
-                staged, near_dup_threshold, index_signatures=store
+                staged, near_dup_threshold, index_signatures=store,
+                lsh_max_df=lsh_max_df,
             )
             staged = staged.localCheckpoint(eager=True)
             # Append the final keepers' signatures to the store: the

@@ -70,6 +70,17 @@ COMPACTED = "_compacted"
 COMPACTED_NEXT = "_compacted_next"
 FOLDED_MARKER = "_folded"
 
+# Production lifecycle defaults (r13 verdict next #3 — the composed
+# tick arms compaction/retention by default).  64 live partitions:
+# at a 4-hour cadence the fold fires ~every 11 days, the store's
+# directory count stays ≤ 64 + n_buckets forever, and the O(archive)
+# per-fold rewrite (see maybe_compact_store) is paid 1/64th as often
+# as ticks run.  64 retained decision partitions keeps ~11 days of
+# keep/reject batches hot for audits; everything older moves (never
+# deletes) under _archive.
+DEFAULT_MAX_LIVE_PARTITIONS = 64
+DEFAULT_RETAIN_DECISIONS = 64
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -200,7 +211,7 @@ def maybe_compact_store(
     spark: SparkSession,
     store_dir: str,
     key_col: str,
-    max_live_partitions: int = 64,
+    max_live_partitions: int = DEFAULT_MAX_LIVE_PARTITIONS,
     n_buckets: int = 32,
 ) -> bool:
     """Fold the store's live ``batch_id=N`` partitions into the
@@ -210,10 +221,23 @@ def maybe_compact_store(
     current batch is safe because exclusion is by column.
 
     Cost when the trigger does not fire: one filesystem listing.  When
-    it fires: one read + bucketed rewrite of old-compacted + live — at
-    a fold-every-64-ticks cadence the amortized cost per tick is
-    ~1/64th of the archive, and the store's directory count is bounded
-    at ``max_live_partitions + n_buckets`` forever."""
+    it fires: one read + bucketed rewrite of old-compacted + live —
+    **O(total archive) per fold**, because the whole compacted segment
+    is rewritten alongside the live rows (r13 ADVICE: the earlier
+    "~1/64th of the archive per tick" phrasing was wrong — the
+    amortized per-tick cost is ``archive_rows / max_live_partitions``,
+    which grows linearly with store lifetime, not a constant).  The
+    directory-count bound (``max_live_partitions + n_buckets`` forever)
+    and the probe-side listing win are unaffected.  Deployments whose
+    fold cost becomes the binding term should raise
+    ``max_live_partitions`` (fold cost is paid 1/cadence as often) or
+    adopt leveled segments (fold live into a small generation, merge
+    generations geometrically — amortized O(log archive) per tick);
+    the layout here keeps ONE segment deliberately: a single
+    ``_folded`` watermark is what makes the crash-resume and
+    replay-exclusion contracts one-line auditable, and the measured
+    fold cost at deployment scale is priced in SCALE.md §store
+    lifecycle."""
     _commit_segment(spark, store_dir)  # resume any interrupted publish
     live_ids = live_batch_ids(spark, store_dir)
     if len(live_ids) < max_live_partitions:
@@ -260,6 +284,23 @@ def maybe_compact_store(
     ).write.mode("overwrite").parquet(f"{nxt_dir}/{FOLDED_MARKER}")
     _commit_segment(spark, store_dir)
     return True
+
+
+def drop_segments(spark: SparkSession, store_dir: str) -> None:
+    """Remove a store's compacted segment (committed and staged) so the
+    caller can republish the WHOLE table as live ``batch_id=N``
+    partitions — the PQ rebuild's fold⊗rebuild composition (r13 verdict
+    next #7): the rebuild re-encodes every archived id, so the folded
+    code rows are wholly superseded, and a surviving ``_folded``
+    watermark would mask the republished live partitions at or below
+    it from :func:`read_store`.  No-op when the store has no segment."""
+    fs, root = _fs(spark, store_dir)
+    if not fs.exists(root):
+        return
+    for name in (COMPACTED, COMPACTED_NEXT):
+        p = _child(spark, store_dir, name)
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def retain_partitions(

@@ -61,6 +61,7 @@ def curation_tick(
     kept_embeddings: DataFrame | None = None,
     window_words: int = 5,
     max_sf: int = 2,
+    lsh_max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_id_col: str = "vec_id",
@@ -100,7 +101,8 @@ def curation_tick(
     # stages 1 (quality/repetition/exact-dup) + 2 (near-dup)
     staged = route_documents(docs_batch, quality_min, kept_fps)
     staged, sigs = apply_near_dup(
-        staged, near_dup_threshold, index_signatures=index_signatures
+        staged, near_dup_threshold, index_signatures=index_signatures,
+        lsh_max_df=lsh_max_df,
     )
 
     # stage 3: semantic dedup of the survivors' embeddings
@@ -155,10 +157,11 @@ def run_streaming_tick(
     sem_bits: int = 8,
     books_path: str | None = None,
     pq_m: int | None = None,
-    pq_recon_ppm_threshold: int | None = None,
-    sem_occupancy_limit: int | None = None,
-    compact_after: int | None = None,
-    retain_decisions: int | None = None,
+    pq_recon_ppm_threshold: int | None | str = "auto",
+    sem_occupancy_limit: int | None | str = "auto",
+    compact_after: int | None | str = "auto",
+    retain_decisions: int | None | str = "auto",
+    lsh_max_df: int | None | str = "auto",
     window_words: int = 5,
     max_sf: int = 2,
     max_files_per_trigger: int | None = None,
@@ -177,6 +180,24 @@ def run_streaming_tick(
       ``books_path`` is given — standing codebooks)
     - ``_pq_rebuilds/rebuild_batch=N`` audit log of PQ index rebuilds
       (when ``pq_recon_ppm_threshold`` is set)
+
+    **Production posture is the DEFAULT posture (r13 verdict next #3).**
+    The four maintenance knobs default to ``"auto"``, so a caller who
+    names nothing gets every 100 TB property the rounds measured:
+    ``pq_recon_ppm_threshold`` resolves per tick via
+    :func:`~experts_etl_spark.streaming.ann_index.
+    resolve_recon_threshold` (4× the latest rebuild's measured
+    intrinsic error, floored at
+    :data:`~experts_etl_spark.streaming.ann_index.DEFAULT_PQ_RECON_PPM`);
+    ``sem_occupancy_limit`` to
+    :data:`~experts_etl_spark.streaming.semantic.DEFAULT_OCCUPANCY_LIMIT`;
+    ``compact_after`` / ``retain_decisions`` to
+    :data:`~experts_etl_spark.streaming.stores.DEFAULT_MAX_LIVE_PARTITIONS`
+    / :data:`~experts_etl_spark.streaming.stores.DEFAULT_RETAIN_DECISIONS`;
+    ``lsh_max_df`` to :data:`~experts_etl_spark.llm.dedup.LSH_MAX_DF`
+    (the hot-band candidate cap).  Pass ``None`` to switch a knob OFF
+    explicitly, or an int to pin it — explicit values behave exactly
+    as before.
 
     With ``pq_recon_ppm_threshold`` set, the tick's PQ leg is
     SELF-MAINTAINING (r11 verdict next #8): after encoding the batch's
@@ -218,6 +239,36 @@ def run_streaming_tick(
     are byte-idempotent (tests/test_streaming_tick.py)."""
     from experts_etl_spark.llm.curation import substring_window_store
     from experts_etl_spark.llm.pq import pq_encode_incremental
+
+    # --- production defaults (r13 verdict next #3) --------------------
+    # Every 100 TB-posture property the rounds measured — bounded store
+    # directories, re-widened SRP index, rebuilt drifting codebooks,
+    # bounded decision sinks, capped degenerate band keys — is ON by
+    # default, the same defaults-on treatment the auto_* read/write/
+    # train knobs already have (llm/similarity.py:41, llm/pq.py:69).
+    # Pass None (or an explicit value) to opt out (or pin).
+    if sem_occupancy_limit == "auto":
+        from experts_etl_spark.streaming.semantic import (
+            DEFAULT_OCCUPANCY_LIMIT,
+        )
+
+        sem_occupancy_limit = DEFAULT_OCCUPANCY_LIMIT
+    if compact_after == "auto":
+        from experts_etl_spark.streaming.stores import (
+            DEFAULT_MAX_LIVE_PARTITIONS,
+        )
+
+        compact_after = DEFAULT_MAX_LIVE_PARTITIONS
+    if retain_decisions == "auto":
+        from experts_etl_spark.streaming.stores import (
+            DEFAULT_RETAIN_DECISIONS,
+        )
+
+        retain_decisions = DEFAULT_RETAIN_DECISIONS
+    if lsh_max_df == "auto":
+        from experts_etl_spark.llm.dedup import LSH_MAX_DF
+
+        lsh_max_df = LSH_MAX_DF
 
     dirs = {
         "fp": os.path.join(out_dir, "_fingerprints"),
@@ -283,6 +334,7 @@ def run_streaming_tick(
             kept_embeddings=_read_store(spark_b, dirs["emb"], batch_id),
             window_words=window_words,
             max_sf=max_sf,
+            lsh_max_df=lsh_max_df,
         )
         routed = routed.localCheckpoint(eager=True)  # feeds every sink
         keep_ids = routed.filter(F.col("reject_reason").isNull()).select(
@@ -371,24 +423,53 @@ def run_streaming_tick(
                     from experts_etl_spark.llm.pq import pq_recon_ppm
                     from experts_etl_spark.streaming.ann_index import (
                         maybe_rebuild_pq_index,
+                        resolve_recon_threshold,
                     )
 
+                    audit_dir = os.path.join(out_dir, "_pq_rebuilds")
+                    intr_dir = os.path.join(out_dir, "_pq_intrinsic")
+                    thr = (
+                        resolve_recon_threshold(
+                            spark_b, audit_dir, intr_dir
+                        )
+                        if pq_recon_ppm_threshold == "auto"
+                        else pq_recon_ppm_threshold
+                    )
                     ppm = pq_recon_ppm(
                         kept_embs, books, "vec_id", "embedding", pq_m
                     )
-                    if ppm > pq_recon_ppm_threshold:
+                    if thr is None:
+                        # "auto" with no measurement on record: the
+                        # tick has no bootstrap leg (standing books are
+                        # its contract), so FIRST CONTACT calibrates —
+                        # record this tick's measured ppm as the
+                        # intrinsic anchor and make no drift decision
+                        # (a floor below the corpus's intrinsic error
+                        # would fire a futile rebuild whose veto wedges
+                        # the stream; a replay re-measures the same ppm
+                        # → same marker, same no-rebuild outcome)
+                        spark_b.createDataFrame(
+                            [(int(batch_id), int(ppm))],
+                            "batch_id bigint, ppm bigint",
+                        ).write.mode("overwrite").parquet(intr_dir)
+                    elif ppm > thr:
                         maybe_rebuild_pq_index(
                             spark_b,
                             arch_dir=dirs["emb"],
                             codes_dir=dirs["pq"],
                             books_dir=books_path,
-                            audit_dir=os.path.join(out_dir, "_pq_rebuilds"),
+                            audit_dir=audit_dir,
                             batch_id=batch_id,
                             pre_ppm=ppm,
-                            recon_ppm_threshold=pq_recon_ppm_threshold,
+                            recon_ppm_threshold=thr,
                             id_col="vec_id",
                             vec_col="embedding",
                             m=pq_m,
+                            intrinsic_dir=(
+                                intr_dir
+                                if pq_recon_ppm_threshold == "auto"
+                                else None
+                            ),
                         )
         # --- store lifecycle (r12 verdict missing #1 / next #8) -------
         if compact_after is not None:
@@ -401,6 +482,10 @@ def run_streaming_tick(
                 (dirs["sig"], "doc_id"),
                 (dirs["win"], "win"),
                 (dirs["emb"], "vec_id"),
+                # the PQ code store grows one batch_id dir per tick
+                # like the probe stores (r13 verdict next #7); the
+                # rebuild composes via drop_segments (ann_index.py)
+                (dirs["pq"], "vec_id"),
             ):
                 maybe_compact_store(
                     spark_b, path, key, max_live_partitions=compact_after

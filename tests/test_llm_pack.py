@@ -68,6 +68,71 @@ def test_minhash_lsh_candidates_include_true_dups(spark):
     assert (1, 3) in cands          # 7/8 shared shingles → near-certain
 
 
+def test_lsh_band_key_cap_drops_degenerate_keys_only(spark):
+    """r13 verdict next #1: the production band-key cap removes keys
+    whose document frequency exceeds max_df — the quadratic within-key
+    fan-out — while pairs carried by any sub-cap band survive.  Six
+    identical docs share every band (df=6 per key); with max_df=3 the
+    hot keys are capped and the clique mines ZERO candidates, while a
+    rare near-dup pair on distinct text keeps its pairs; with the cap
+    above the frequency the clique returns intact (small-scale
+    behavior == uncapped, which is why the gated rows stay green at
+    driver scale)."""
+    from experts_etl_spark.llm.dedup import minhash_lsh_dedup
+
+    clique_text = " ".join(f"hot{i:02d}" for i in range(30))
+    rare_text = " ".join(f"rare{i:02d}" for i in range(30))
+    # identical pair → co-bands on every band deterministically (no
+    # minhash luck), with per-key df = 2, safely under the cap
+    rows = [(i, clique_text) for i in range(6)] + [
+        (100, rare_text),
+        (101, rare_text),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_dedup(
+            df, "text", "doc_id", 0.5, max_df=3
+        ).collect()
+    }
+    assert (100, 101) in capped            # rare pair survives the cap
+    assert not any(p[0] < 100 for p in capped)   # hot clique capped out
+
+    uncapped = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_dedup(
+            df, "text", "doc_id", 0.5, max_df=50
+        ).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_incremental_lsh_cap_counts_df_over_union(spark):
+    """The asymmetric miner's cap counts band-key frequency over
+    index ∪ new (the whole-corpus frequency the symmetric miner would
+    see): 5 index copies + 1 new copy of the same text = df 6 per key,
+    so max_df=5 caps the key even though the new side alone is far
+    under the cap; max_df=10 keeps the hit."""
+    from experts_etl_spark.llm.dedup import incremental_lsh_dedup
+
+    text = " ".join(f"uni{i:02d}" for i in range(30))
+    index = spark.createDataFrame(
+        [(i, text) for i in range(5)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    hits = incremental_lsh_dedup(
+        index, new, "text", "doc_id", 0.5, max_df=5
+    ).collect()
+    assert hits == []
+    hits = incremental_lsh_dedup(
+        index, new, "text", "doc_id", 0.5, max_df=10
+    ).collect()
+    assert {(r.new_id, r.index_id) for r in hits} == {
+        (100, i) for i in range(5)
+    }
+
+
 def test_winnow_fingerprints_guarantee(spark):
     """Winnowing guarantee: identical docs share ALL fingerprints; a doc
     with one changed word still shares a long run → overlap high; short

@@ -141,3 +141,95 @@ def test_streaming_ivfpq_search_matches_batch_and_is_idempotent(spark, tmp_path)
     ) == sorted(
         map(tuple, want1.select(*cols).unionByName(want2.select(*cols)).collect())
     )
+
+
+def test_pq_ingest_fold_and_rebuild_compose(spark, tmp_path):
+    """r13 verdict next #7: store compaction and the transactional
+    rebuild COMPOSE on the PQ code store.  Two benign ticks at
+    compact_after=2 fold both the raw-embedding archive and the code
+    table into their _compacted segments; a third, drifted tick then
+    fires the rebuild, whose re-encode must (a) read the archive ACROSS
+    the fold boundary, (b) drop the code store's folded segment before
+    republishing (a surviving _folded watermark would mask the
+    republished live partitions and keep serving stale old-book rows),
+    and (c) publish exactly one code set per archived id, byte-equal to
+    a from-scratch encode of the compacted archive under the published
+    books.  A re-drain on the committed checkpoint changes nothing."""
+    from experts_etl_spark.streaming.ann_index import (
+        run_streaming_pq_ingest_with_rebuild,
+    )
+    from experts_etl_spark.streaming.stores import read_store
+
+    dim = 8
+    schema = "vec_id long, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(24 + i, [float((i % 3) + 1)] * dim) for i in range(24)], schema
+    )
+    b3 = spark.createDataFrame(
+        [(100 + i, [1000.0 + float(i % 3)] * dim) for i in range(24)], schema
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(recon_ppm_threshold=200000, compact_after=2)
+
+    land(b1, "b1")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src), idx, ckpt, **args)
+    land(b2, "b2")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src), idx, ckpt, **args)
+    # both stores folded: live batch dirs gone, segments committed
+    assert os.path.isdir(idx + "/codes/_compacted")
+    assert os.path.isdir(idx + "/_embeddings/_compacted")
+    assert not glob.glob(idx + "/codes/batch_id=*")
+    assert not glob.glob(idx + "/_rebuilds/*")
+
+    land(b3, "b3")
+    run_streaming_pq_ingest_with_rebuild(spark, str(src), idx, ckpt, **args)
+    audit = spark.read.parquet(idx + "/_rebuilds").collect()
+    assert len(audit) == 1 and audit[0]["post_ppm"] <= 200000
+
+    codes = read_store(spark, idx + "/codes")
+    got = sorted(
+        map(tuple, codes.select("vec_id", "sub_id", "code_id").collect())
+    )
+    # exactly one code set per archived id — no stale fold rows survive
+    per_id = (
+        codes.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_id] == [2]  # m=2 at dim 8
+    assert codes.select("vec_id").distinct().count() == 72
+
+    # byte-equal to a from-scratch encode of the (fold-crossing) archive
+    # under the PUBLISHED books
+    arch = read_store(spark, idx + "/_embeddings", drop_batch_id=True)
+    books = spark.read.parquet(idx + "/_books")
+    want = sorted(
+        map(
+            tuple,
+            pq_encode_incremental(arch, books, "vec_id", "embedding")
+            .select("vec_id", "sub_id", "code_id")
+            .collect(),
+        )
+    )
+    assert got == want
+
+    # re-drain on the committed checkpoint: nothing re-fires, codes and
+    # books byte-stable
+    run_streaming_pq_ingest_with_rebuild(spark, str(src), idx, ckpt, **args)
+    assert len(spark.read.parquet(idx + "/_rebuilds").collect()) == 1
+    codes2 = read_store(spark, idx + "/codes")
+    got2 = sorted(
+        map(tuple, codes2.select("vec_id", "sub_id", "code_id").collect())
+    )
+    assert got2 == got

@@ -604,6 +604,89 @@ def test_pq_rebuild_deletes_fully_superseded_code_partitions(
     assert pq_recon_ppm(corpus, books, "vec_id", "embedding") <= 200000
 
 
+def test_resolve_recon_threshold_floor_and_measured_margin(spark, tmp_path):
+    """r13 verdict next #3: the "auto" drift threshold floors at
+    DEFAULT_PQ_RECON_PPM before any rebuild exists, then re-anchors at
+    4× the LATEST rebuild's measured intrinsic error (post_ppm) once
+    the audit log carries one — never below the floor."""
+    from experts_etl_spark.streaming.ann_index import (
+        DEFAULT_PQ_RECON_PPM,
+        resolve_recon_threshold,
+    )
+
+    audit = str(tmp_path / "_rebuilds")
+    # no audit log yet → floor
+    assert resolve_recon_threshold(spark, audit) == DEFAULT_PQ_RECON_PPM
+    # a rebuild whose books are tight (post_ppm far under floor/4) →
+    # still the floor
+    spark.createDataFrame(
+        [(3, 900000, 10000)], "batch_id bigint, pre_ppm bigint, post_ppm bigint"
+    ).write.parquet(audit + "/rebuild_batch=3")
+    assert resolve_recon_threshold(spark, audit) == DEFAULT_PQ_RECON_PPM
+    # a LATER rebuild with high intrinsic error → 4× that measurement
+    spark.createDataFrame(
+        [(7, 2000000, 150000)],
+        "batch_id bigint, pre_ppm bigint, post_ppm bigint",
+    ).write.parquet(audit + "/rebuild_batch=7")
+    assert resolve_recon_threshold(spark, audit) == 600000
+
+
+def test_pq_rebuild_veto_leaves_published_codes_untouched(spark, tmp_path):
+    """r13 ADVICE: the fully-superseded-partition sweep must run AFTER
+    the audit-gated publish, so an audit veto (post-rebuild ppm still
+    over threshold even after the full-Lloyd retry) leaves the
+    published codes table — including the stale-but-still-referenced
+    old partitions — byte-untouched.  A veto path that mutates the
+    table would break the write-audit-publish contract the rebuild
+    documents."""
+    from experts_etl_spark.llm.pq import pq_encode_incremental, pq_train
+    from experts_etl_spark.streaming.ann_index import maybe_rebuild_pq_index
+
+    dim = 8
+    # batch 0 fully superseded: every id re-arrives in batch 1 with
+    # diverse (non-representable) vectors, so intrinsic recon error > 0
+    # and threshold=0 is unreachable → the rebuild MUST veto.
+    b1 = spark.createDataFrame(
+        [(i, [float((i % 3) + 1)] * dim) for i in range(24)], EMB_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(i, [float((i * (j + 2)) % 37) for j in range(dim)])
+         for i in range(24)],
+        EMB_SCHEMA,
+    )
+    idx = tmp_path / "index"
+    arch, codes = str(idx / "_embeddings"), str(idx / "codes")
+    for bid, b in ((0, b1), (1, b2)):
+        b.write.parquet(f"{arch}/batch_id={bid}")
+    _, books = pq_train(b1, "vec_id", "embedding", iters=1)
+    books.write.parquet(str(idx / "_books"))
+    for bid, b in ((0, b1), (1, b2)):
+        pq_encode_incremental(b, books, "vec_id", "embedding").write.parquet(
+            f"{codes}/batch_id={bid}"
+        )
+    before = sorted(map(tuple, spark.read.parquet(codes).collect()))
+
+    with pytest.raises(RuntimeError, match="publish vetoed"):
+        maybe_rebuild_pq_index(
+            spark,
+            arch_dir=arch,
+            codes_dir=codes,
+            books_dir=str(idx / "_books"),
+            audit_dir=str(idx / "_rebuilds"),
+            batch_id=1,
+            pre_ppm=10**6,
+            recon_ppm_threshold=0,
+        )
+    # stale-but-published partition still present; table byte-identical
+    assert glob.glob(codes + "/batch_id=0/*.parquet")
+    after = sorted(map(tuple, spark.read.parquet(codes).collect()))
+    assert after == before
+    books_after = sorted(
+        map(tuple, spark.read.parquet(str(idx / "_books")).collect())
+    )
+    assert books_after == sorted(map(tuple, books.collect()))
+
+
 def test_pq_bootstrap_exemption_is_content_based_not_batch_id(
     spark, tmp_path
 ):

@@ -64,6 +64,14 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--docs1", type=int, default=5000)
     ap.add_argument("--mults", default="1,3,9,27,81")
+    ap.add_argument(
+        "--max-df",
+        default="production",
+        help="band-key cap for the candidate miner: 'production' "
+        "(= llm/dedup.py:LSH_MAX_DF, the r14 default the gated "
+        "queries run), 'none' (the uncapped r13 baseline this tool "
+        "originally diagnosed), or an integer",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -71,15 +79,25 @@ def main() -> None:
 
     from experts_etl_spark.llm.curation import connected_components
     from experts_etl_spark.llm.dedup import (
+        LSH_MAX_DF,
         lsh_candidates,
         signature_shingle_sets,
     )
     from experts_etl_spark.session import get_spark
     from tools.gen_scaledata import generate
 
+    if args.max_df == "production":
+        max_df = LSH_MAX_DF
+    elif args.max_df == "none":
+        max_df = None
+    else:
+        max_df = int(args.max_df)
+
     spark = get_spark("cc_leg_diagnosis")
     root = tempfile.mkdtemp(prefix="cc_diag_")
 
+    # capped rows keep the original (uncapped-era) names so SCALE_FIT
+    # series line up round-over-round; the cap value rides in run meta
     rows: dict[str, dict] = {
         "cc_sig_build@heaps": {},
         "cc_cand_mine@heaps": {},
@@ -118,7 +136,7 @@ def main() -> None:
         def cand_mine():
             nonlocal cands
             cands = lsh_candidates(
-                sigsets.drop("sh"), "doc_id"
+                sigsets.drop("sh"), "doc_id", max_df=max_df
             ).localCheckpoint()
 
         rows["cc_cand_mine@heaps"][f"t{mult}x"] = t(cand_mine)
@@ -187,6 +205,7 @@ def main() -> None:
         "mults": mults,
         "docs_1x": args.docs1,
         "corpus": "heaps",
+        "max_df": max_df,
         "volumes": vols,
         "tool": "cc_leg_diagnosis.py",
     }
