@@ -178,7 +178,11 @@ def ngram_jaccard_pairs(
     sh = with_max_df(
         doc_shingles(df, text_col, id_col), "shingle", max_df
     ).localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # one row per doc, read by both size joins below — materialize the
+    # counting pass once instead of once per join side (guide §2.4)
+    sizes = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    ).localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -204,7 +208,8 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_prefix(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame, text_col: str, id_col: str, threshold: float,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs (≥ ``threshold``) via prefix filtering
     — the AllPairs/PPJoin candidate rule (Bayardo et al. WWW'07; Xiao et
@@ -228,10 +233,19 @@ def ngram_jaccard_pairs_prefix(
     shingle, one window on doc, candidate join on rare-shingle blocks,
     two hash joins on doc id).  No broadcast of anything
     corpus-proportional; skewed prefix blocks split under AQE.
+
+    ``shingles`` lets a caller that ALREADY materialized this corpus's
+    ``doc_shingles`` pass (e.g. the recall audits, which also feed it
+    to the signature builder) share the one explode+window+distinct
+    scan instead of re-paying it (guide §1.2 / §2.4).
     """
     from pyspark.sql import Window
 
-    sh = doc_shingles(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text_col, id_col).localCheckpoint(eager=False)
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     win = Window.partitionBy(id_col).orderBy("df", "shingle")
     ranked = sh.join(dfreq, "shingle").select(
@@ -243,12 +257,16 @@ def ngram_jaccard_pairs_prefix(
     # ceil guard: t·n that is mathematically an integer can round UP in
     # binary (0.55·20 → 11.000000000000002 → ceil 12), shortening the
     # prefix by one and breaking losslessness for pairs at exactly t.
+    # Materialized once: it feeds BOTH sides of the candidate self-join
+    # and Catalyst otherwise re-runs the df-count aggregation + both
+    # ranking windows per side (r14 plan audit: Windows 13/15 and 30/32
+    # were the same pass twice — guide §2.4).
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("n_sh")
         - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9))
         + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "shingle").localCheckpoint(eager=False)
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
@@ -259,7 +277,11 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    sets_ = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shs"))
+    # same sharing argument for the verify side: one collect_list pass,
+    # read by both the id1 and id2 joins
+    sets_ = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("shs")
+    ).localCheckpoint(eager=False)
     s1 = sets_.select(F.col(id_col).alias("id1"), F.col("shs").alias("sh1"))
     s2 = sets_.select(F.col(id_col).alias("id2"), F.col("shs").alias("sh2"))
     verified = (
@@ -562,15 +584,21 @@ def simhash_pairs(
 
 
 def signature_shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One aggregation pass producing the MinHash signature (for
     banding) AND the shingle set (for exact verify) per document — the
     stored-signature-table shape a production pipeline persists at
     ingest.  Lazily checkpointed: it feeds banding and both verify
     sides, and Catalyst does not share the subtree across differing
-    broadcast exchanges."""
-    sh = doc_shingles(df, text_col, id_col)
+    broadcast exchanges.  ``shingles`` shares an already-materialized
+    ``doc_shingles`` pass (see :func:`ngram_jaccard_pairs_prefix`)."""
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, text_col, id_col)
+    )
     shx = sh.withColumn("x", hex60(F.col("shingle")) % P31)
     aggs = [
         F.min((F.col("x") * MINHASH_A[i] + MINHASH_B[i]) % P31).alias(f"h{i}")

@@ -186,10 +186,16 @@ def auto_refine_mult(n_rows: int, k: int, lo: int = 4, hi: int = 64) -> int:
     return min(max(math.isqrt(n_rows) // max(k, 1), lo), hi)
 
 
-def _subvectors(n: DataFrame, m: int) -> DataFrame:
+def _subvectors(
+    n: DataFrame, m: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(vec_id, q, …) → (vec_id, sub_id, sq): m aligned subvector rows
     per vector, dimension-generic (sub-dim = size(q) div m).  A single
     generated-column explode — no Python loop, no per-subspace scan.
+    ``extra`` names per-VECTOR columns of ``n`` (cell id, norm) to
+    replicate onto each subvector row so downstream consumers can
+    carry them through the assignment aggregation instead of paying a
+    corpus-sized re-join (guide §2.4: remove shuffles outright).
 
     FAISS-style requirement: the vector dimension must divide evenly
     by ``m`` — ``size(q) div m`` would otherwise silently drop the
@@ -205,24 +211,49 @@ def _subvectors(n: DataFrame, m: int) -> DataFrame:
         f"     raise_error(concat('PQ requires vector dim divisible by"
         f" m={m}; got dim=', cast(size(q) AS string)))) AS sq))"
     )
-    return n.select("vec_id", F.explode(slices).alias("s")).select(
-        "vec_id", F.col("s.sub_id").cast("int").alias("sub_id"), "s.sq"
+    return n.select("vec_id", *extra, F.explode(slices).alias("s")).select(
+        "vec_id", F.col("s.sub_id").cast("int").alias("sub_id"), "s.sq",
+        *extra,
     )
 
 
-def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+def _assign_codes(
+    subs: DataFrame, codebooks: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """L2 argmin assignment of every subvector to its codeword:
     min(||c||² − 2·x·c), ties to the smaller code_id.  Codebooks
-    broadcast (m·k rows); min_by keeps the aggregation map-side."""
+    broadcast (m·k rows); min_by keeps the aggregation map-side.
+
+    ``carry`` names columns of ``subs`` that are CONSTANT per
+    (vec_id, sub_id) group — the subvector itself, the vector's cell
+    id or norm — to ride the min_by struct through the aggregation.
+    Every carried column removes a whole corpus-sized shuffle join
+    the caller would otherwise pay to re-attach it (the r14 plan
+    audit: one join-back per Lloyd iteration plus two on the IVFADC
+    index build — guide §2.4)."""
     scored = subs.join(F.broadcast(codebooks), "sub_id").withColumn(
         "l2", F.col("cn2") - 2.0 * dot(F.col("sq"), F.col("cq"))
     )
+    if not carry:
+        return (
+            scored.groupBy("vec_id", "sub_id")
+            .agg(
+                F.min_by(
+                    F.col("code_id"), F.struct(F.col("l2"), F.col("code_id"))
+                ).alias("code_id")
+            )
+        )
     return (
         scored.groupBy("vec_id", "sub_id")
         .agg(
             F.min_by(
-                F.col("code_id"), F.struct(F.col("l2"), F.col("code_id"))
-            ).alias("code_id")
+                F.struct("code_id", *carry),
+                F.struct(F.col("l2"), F.col("code_id")),
+            ).alias("_w")
+        )
+        .select(
+            "vec_id", "sub_id", F.col("_w.code_id").alias("code_id"),
+            *[F.col(f"_w.{c}").alias(c) for c in carry],
         )
     )
 
@@ -235,9 +266,15 @@ def pq_train(
     code_mod: int | None = None,
     iters: int = 2,
     train_mod: int | str | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks; returns (subvector corpus,
     codebooks (sub_id, code_id, cq, cn2)).
+
+    ``n_rows`` lets a caller that already counted the corpus share the
+    scalar instead of re-paying the count action (the knob derivation
+    is unchanged — same count, computed once per query: guide §1.2,
+    don't compute things twice).
 
     Seeds: the subvectors of every ``code_mod``-th vector (k ≈
     n/code_mod codewords per subspace; ``None`` self-scales to
@@ -271,7 +308,8 @@ def pq_train(
     (the returned subvector corpus) always covers the full corpus."""
     m = _resolve_m(emb, vec_col, m)
     need_count = code_mod is None or train_mod == "auto"
-    n_rows = emb.count() if need_count else 0
+    if n_rows is None:
+        n_rows = emb.count() if need_count else 0
     if code_mod is None:
         code_mod = auto_code_mod(n_rows)
     if train_mod == "auto":
@@ -336,9 +374,10 @@ def _train_books(
         dot(F.col("sq"), F.col("sq")).alias("cn2"),
     )
     for _ in range(iters):
-        assigned = _assign_codes(subs, books).join(
-            subs, ["vec_id", "sub_id"]
-        )
+        # the winning row's sq rides the min_by struct out of the
+        # assignment — no corpus-sized join-back onto subs per round
+        # (guide §2.4: remove shuffles outright)
+        assigned = _assign_codes(subs, books, carry=("sq",))
         ex = assigned.select(
             "sub_id", "code_id", F.posexplode("sq").alias("d", "val")
         )
@@ -423,8 +462,7 @@ def pq_recon_ppm(
     )
     subs = _subvectors(n, m)
     rec = (
-        _assign_codes(subs, books)
-        .join(subs, ["vec_id", "sub_id"])
+        _assign_codes(subs, books, carry=("sq",))
         .join(F.broadcast(books), ["sub_id", "code_id"])
         .withColumn("_diff", F.zip_with("sq", "cq", lambda a, b: a - b))
     )
@@ -449,6 +487,7 @@ def pq_adc_topk(
     code_mod: int | None = None,
     iters: int = 2,
     refine_mult: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ADC top-k with exact re-rank: train codebooks, encode the corpus,
     score candidates as the sum of m broadcast-LUT entries, keep the
@@ -466,9 +505,15 @@ def pq_adc_topk(
     codes for inner-product/cosine metrics.  All LUT sums are integer
     sums (exact); ranking ties break on cand_id in both stages."""
     m = _resolve_m(emb, vec_col, m)
+    # one corpus count serves every knob derivation in this query
+    # (refine_mult here, code_mod inside pq_train) — guide §1.2
+    if n_rows is None and (refine_mult is None or code_mod is None):
+        n_rows = emb.count()
     if refine_mult is None:
-        refine_mult = auto_refine_mult(emb.count(), k)
-    subs, books = pq_train(emb, id_col, vec_col, m, code_mod, iters)
+        refine_mult = auto_refine_mult(n_rows, k)
+    subs, books = pq_train(
+        emb, id_col, vec_col, m, code_mod, iters, n_rows=n_rows
+    )
     codes = _assign_codes(subs, books)
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
@@ -553,6 +598,8 @@ def ivf_residuals(
     vec_col: str,
     cell_mod: int | None = None,
     centroids: DataFrame | None = None,
+    n_rows: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Coarse-quantize the corpus onto stride-seeded IVF cells through
     the TWO-LEVEL hierarchy (:func:`~experts_etl_spark.llm.similarity.
@@ -581,15 +628,21 @@ def ivf_residuals(
             F.col("q").alias("centq"),
             F.col("n2").alias("centn2"),
         )
-    cells2, assignment = ivf2_index(emb, id_col, vec_col, centroids)
+    cells2, assignment = ivf2_index(
+        emb, id_col, vec_col, centroids, n_rows=n_rows, stats=stats
+    )
     cells = cells2.select(
         "cent_id",
         F.col("cq").alias("cellq"),
         F.col("cn2").alias("celln2"),
     )
+    # carry the vector's exact norm (cn22 in the assignment) onto the
+    # residual rows: the IVFADC index build then never joins back onto
+    # the full corpus just to re-attach n2 (guide §2.4)
     resid = assignment.join(F.broadcast(cells), "cent_id").select(
         F.col("cand_id").alias("vec_id"),
         "cent_id",
+        F.col("cn22").alias("n2"),
         F.zip_with("cq2", "cellq", lambda x, c: x - c).alias("q"),
     )
     return n, cells, resid
@@ -604,6 +657,8 @@ def ivfpq_index(
     code_mod: int | None = None,
     iters: int = 2,
     centroids: DataFrame | None = None,
+    n_rows: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build side of IVFADC: returns ``(cells, books, index)`` — the
     three frames a deployment materializes and amortizes across every
@@ -625,16 +680,28 @@ def ivfpq_index(
     ``centroids`` to build over a TRAINED coarse quantizer (see
     :func:`ivf_residuals`)."""
     m = _resolve_m(emb, vec_col, m)
-    n, cells, resid = ivf_residuals(emb, id_col, vec_col, cell_mod, centroids)
-    if code_mod is None:
-        code_mod = auto_code_mod(emb.count())
-    rsubs = _subvectors(resid, m).localCheckpoint(eager=False)
-    books = _train_books(rsubs, code_mod, iters, seed_offset=1)
-    index = (
-        _assign_codes(rsubs, books)
-        .join(resid.select("vec_id", "cent_id"), "vec_id")
-        .join(n.select("vec_id", "n2"), "vec_id")
+    if stats is None:
+        stats = {}
+    n, cells, resid = ivf_residuals(
+        emb, id_col, vec_col, cell_mod, centroids, n_rows=n_rows,
+        stats=stats,
     )
+    if code_mod is None:
+        # ivf2_index already resolved the corpus count — reuse the
+        # scalar instead of a second count action (guide §1.2)
+        code_mod = auto_code_mod(
+            stats.get("n_rows") if stats.get("n_rows") is not None
+            else emb.count()
+        )
+    # cell id + norm replicate onto the subvector rows and ride the
+    # assignment's min_by struct out: the index build pays ZERO
+    # corpus-sized joins (was two — onto resid for cent_id, onto the
+    # corpus for n2; guide §2.4)
+    rsubs = _subvectors(resid, m, extra=("cent_id", "n2")).localCheckpoint(
+        eager=False
+    )
+    books = _train_books(rsubs, code_mod, iters, seed_offset=1)
+    index = _assign_codes(rsubs, books, carry=("cent_id", "n2"))
     return cells, books, index
 
 
@@ -650,6 +717,8 @@ def ivfpq_search(
     m: int | None = None,
     refine_mult: int | None = None,
     nprobe: int | None = None,
+    n_rows: int | None = None,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Probe side of IVFADC over a (possibly materialized) index from
     :func:`ivfpq_index`: each probe selects its ``nprobe`` best cells
@@ -669,10 +738,15 @@ def ivfpq_search(
     matching which knob the r9 sweep measured as binding per path;
     pass explicit values to pin an external contract."""
     m = _resolve_m(probes, vec_col, m)
+    # the build side already counted cells and corpus — callers thread
+    # the scalars through (nlist / n_rows) so the search re-derives
+    # NEITHER with a fresh corpus pass; the knob rules are unchanged
     if nprobe is None:
-        nprobe = auto_nprobe(cells.count())
+        nprobe = auto_nprobe(nlist if nlist is not None else cells.count())
     if refine_mult is None:
-        refine_mult = auto_refine_mult(emb.count(), k)
+        refine_mult = auto_refine_mult(
+            n_rows if n_rows is not None else emb.count(), k
+        )
     n = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col("_q").alias("q"),
@@ -779,6 +853,7 @@ def ivfpq_topk(
     refine_mult: int | None = None,
     nprobe: int | None = None,
     centroids: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVFADC end-to-end: :func:`ivfpq_index` then :func:`ivfpq_search`
     — PQ codebooks trained on CELL RESIDUALS, so the codes spend their
@@ -792,10 +867,16 @@ def ivfpq_topk(
     Deployments call the two halves separately and amortize the index
     (measured: search alone is flat across corpus growth — SCALE.md)."""
     m = _resolve_m(emb, vec_col, m)
+    stats: dict = {}
     cells, books, index = ivfpq_index(
-        emb, id_col, vec_col, m, cell_mod, code_mod, iters, centroids
+        emb, id_col, vec_col, m, cell_mod, code_mod, iters, centroids,
+        n_rows=n_rows, stats=stats,
     )
+    # the build pass resolved the corpus and cell counts — the search
+    # half reuses both scalars, so the end-to-end query pays exactly
+    # ONE corpus count and ONE cell count total (guide §1.2)
     return ivfpq_search(
         cells, books, index, emb, probes, id_col, vec_col, k, m,
         refine_mult, nprobe,
+        n_rows=stats.get("n_rows"), nlist=stats.get("n_cells"),
     )

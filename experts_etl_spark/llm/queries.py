@@ -1315,8 +1315,9 @@ def ann_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     subs, books = pq_train(e, "vec_id", "embedding", iters=2)
     rec = (
-        _assign_codes(subs, books)
-        .join(subs, ["vec_id", "sub_id"])
+        # the winning row's sq rides the assignment's min_by struct —
+        # no corpus-sized join-back onto subs (guide §2.4)
+        _assign_codes(subs, books, carry=("sq",))
         .join(F.broadcast(books), ["sub_id", "code_id"])
         .withColumn("_diff", F.zip_with("sq", "cq", lambda a, b: a - b))
     )
@@ -1597,13 +1598,17 @@ def ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     from experts_etl_spark.llm.similarity import kmeans_refined_centroids
 
     e = read_table(spark, sf_dir, "embeddings")
+    # ONE corpus count serves the trainer's sample stride and every
+    # downstream read/write knob (guide §1.2) — the derivations are
+    # unchanged, just not re-paid per stage
+    n = e.count()
     cents = kmeans_refined_centroids(
-        e, "vec_id", "embedding", iters=2, train_mod="auto"
+        e, "vec_id", "embedding", iters=2, train_mod="auto", n_rows=n
     )
     probes = e.filter(F.col("vec_id") < 32)
     return ivfpq_topk(
         e, probes, "vec_id", "embedding", k=3, iters=2,
-        centroids=cents,
+        centroids=cents, n_rows=n,
     )
 
 
@@ -1729,16 +1734,19 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_exact_truth(
         e, "vec_id", "embedding", probe_max=32, k=3, cache_key=sf_dir
     )
+    # one corpus count shared by the trainer and both search arms
+    # (previously each arm re-counted for its own knobs — guide §1.2)
+    n = e.count()
     cents = kmeans_refined_centroids(
-        e, "vec_id", "embedding", iters=2, train_mod="auto"
+        e, "vec_id", "embedding", iters=2, train_mod="auto", n_rows=n
     )
     methods = {
         "pq_adc": pq_adc_topk(
-            e, probes, "vec_id", "embedding", k=3, iters=2
+            e, probes, "vec_id", "embedding", k=3, iters=2, n_rows=n
         ),
         "ivfpq_refined": ivfpq_topk(
             e, probes, "vec_id", "embedding", k=3, iters=2,
-            centroids=cents,
+            centroids=cents, n_rows=n,
         ),
     }
     out = None
@@ -1917,7 +1925,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_refined_centroids,
     )
 
+    from experts_etl_spark.llm.similarity import auto_srp_bits
+
     e = read_table(spark, sf_dir, "embeddings")
+    # one corpus count shared by all four audited arms (each SRP arm
+    # re-derived bits with its own count before — guide §1.2); the
+    # derivations are byte-identical to the per-arm defaults
+    n = e.count()
+    bits = auto_srp_bits(n)
     probes = e.filter(F.col("vec_id") < 16)
     exact = ann_exact_truth(
         e, "vec_id", "embedding", probe_max=32, k=3, cache_key=sf_dir
@@ -1931,14 +1946,14 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exactness stays gated via ann_ivf_kmeans's own row, and
         # the full-vs-sampled crossing is measured in
         # ann_ivf_kmeans_default (SCALE.md).
-        e, "vec_id", "embedding", iters=2, train_mod="auto"
+        e, "vec_id", "embedding", iters=2, train_mod="auto", n_rows=n
     )
     methods = {
         "srp_bucketed": bucketed_ann_topk(
-            e, probes, "vec_id", "embedding", 3, probe_hamming=0
+            e, probes, "vec_id", "embedding", 3, bits=bits, probe_hamming=0
         ),
         "srp_multiprobe": bucketed_ann_topk(
-            e, probes, "vec_id", "embedding", 3, probe_hamming=1
+            e, probes, "vec_id", "embedding", 3, bits=bits, probe_hamming=1
         ),
         "ivf_nprobe2": ivf_topk(e, probes, "vec_id", "embedding", 3, centroids=cents),
         "ivf_nprobe4": ivf_topk(
@@ -3486,13 +3501,18 @@ def _lsh_recall_frame(d: DataFrame) -> DataFrame:
     truth join inside the sample inherited the exact family's growth
     at p² volume; SCALE.md round 8 → round 9)."""
     from experts_etl_spark.llm.dedup import (
+        doc_shingles,
         lsh_candidates,
         ngram_jaccard_pairs_prefix,
         signature_shingle_sets,
     )
 
+    # ONE shingle pass (explode + lead-window + distinct over the
+    # corpus) shared by the exact-truth miner and the signature
+    # builder — each used to re-derive its own (guide §1.2 / §2.4)
+    sh = doc_shingles(d, "text", "doc_id").localCheckpoint(eager=False)
     truth = (
-        ngram_jaccard_pairs_prefix(d, "text", "doc_id", 0.5)
+        ngram_jaccard_pairs_prefix(d, "text", "doc_id", 0.5, shingles=sh)
         .select("id1", "id2")
         .localCheckpoint(eager=False)
     )
@@ -3504,7 +3524,9 @@ def _lsh_recall_frame(d: DataFrame) -> DataFrame:
     from experts_etl_spark.llm.dedup import LSH_MAX_DF
 
     cands = lsh_candidates(
-        signature_shingle_sets(d, "text", "doc_id").drop("sh"), "doc_id",
+        signature_shingle_sets(d, "text", "doc_id", shingles=sh)
+        .drop("sh"),
+        "doc_id",
         max_df=LSH_MAX_DF,
     ).localCheckpoint(eager=False)
     found = cands.join(truth, ["id1", "id2"])
@@ -4503,6 +4525,8 @@ def ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_ann_topk,
     )
 
+    from experts_etl_spark.llm.similarity import auto_srp_bits
+
     e = read_table(spark, sf_dir, "embeddings")
     sample = e.filter(F.col("vec_id") % 4 == 0)
     probes = sample.filter(F.col("vec_id") < 64)
@@ -4510,12 +4534,17 @@ def ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample, "vec_id", "embedding", probe_max=64, k=3,
         cache_key=sf_dir + "#mod4",
     )
+    # one sample count shared by both SRP arms (each arm re-derived
+    # bits with its own count before — guide §1.2); same derivation
+    bits = auto_srp_bits(sample.count())
     methods = {
         "srp_bucketed": bucketed_ann_topk(
-            sample, probes, "vec_id", "embedding", 3, probe_hamming=0
+            sample, probes, "vec_id", "embedding", 3, bits=bits,
+            probe_hamming=0
         ),
         "srp_multiprobe": bucketed_ann_topk(
-            sample, probes, "vec_id", "embedding", 3, probe_hamming=1
+            sample, probes, "vec_id", "embedding", 3, bits=bits,
+            probe_hamming=1
         ),
     }
     out = None

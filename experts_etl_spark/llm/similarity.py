@@ -373,6 +373,14 @@ def _sequential_keep(
     :func:`~experts_etl_spark.llm.curation.connected_components`
     discipline."""
     el = edges.select("lo", "hi").localCheckpoint(eager=False)
+    # r14 optimization note: restricting the fixpoint frames to edge
+    # ENDPOINTS (isolated vertices are provably kept in round one) was
+    # tried and MEASURED SLOWER at sf0.1 (curation_tick 10.8s → 16.4s
+    # adjacent A/B): the membership join + endpoint distinct cost more
+    # than the smaller per-round frames saved, and the extra lineage
+    # they pin into the round-1 materialization dominates.  Revisit
+    # only with a measured batch≫ε-graph corpus where the per-round
+    # frame size actually binds.
     st = verts.select("_vid", F.lit("u").alias("_st")).localCheckpoint(
         eager=False
     )
@@ -784,6 +792,8 @@ def ivf2_index(
     id_col: str,
     vec_col: str,
     centroids: DataFrame | None = None,
+    n_rows: int | None = None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus side of the two-level IVF: returns ``(cells,
     assignment)`` where ``cells`` is (cent_id, cq, cn2) — the ~√n cell
@@ -792,8 +802,13 @@ def ivf2_index(
     the O(n^1.25) phase: each vector scores ~2·n^(1/4) centroids
     (supers, then its super's cells).  A deployment materializes both
     (cache/checkpoint/write) and amortizes them across every search
-    batch until the next (re)index."""
-    n_rows = emb.count()
+    batch until the next (re)index.
+
+    ``n_rows`` shares an already-paid corpus count; ``stats`` (dict)
+    reports the resolved scalars back (``n_rows``, ``n_cells``) so
+    downstream knob derivations never re-count (guide §1.2)."""
+    if n_rows is None:
+        n_rows = emb.count()
     m1 = auto_cent_mod(n_rows)
     nq = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col("_q"), F.col("_n2")
@@ -811,6 +826,9 @@ def ivf2_index(
             F.col("_n2").alias("cn2"),
         )
     n_cells = cells.count()
+    if stats is not None:
+        stats["n_rows"] = n_rows
+        stats["n_cells"] = n_cells
     s = max(2, math.isqrt(n_cells))
     supers = cells.filter(F.col("cent_id") % (m1 * s) == 0).select(
         F.col("cent_id").alias("super_id"),
@@ -975,6 +993,7 @@ def kmeans_refined_assign(
 def _kmeans_train(
     emb: DataFrame, id_col: str, vec_col: str, cent_mod: int | None,
     iters: int, train_mod: int | str | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop: returns (quantized corpus, trained centroids
     (cent_id, cq, cn2)); see :func:`kmeans_refined_assign` for the
@@ -991,7 +1010,8 @@ def _kmeans_train(
     always unioned into the sample so every cell keeps at least its
     self-assigning seed (cos(seed, seed) = 1) and no cell empties out."""
     need_count = cent_mod is None or train_mod in ("auto", None)
-    n_rows = emb.count() if need_count else 0
+    if n_rows is None:
+        n_rows = emb.count() if need_count else 0
     if cent_mod is None:
         cent_mod = auto_cent_mod(n_rows)
     if train_mod == "auto" or (
@@ -1061,11 +1081,15 @@ def kmeans_refined_centroids(
     emb: DataFrame, id_col: str, vec_col: str,
     cent_mod: int | None = None, iters: int = 2,
     train_mod: int | str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Trained quantizer for :func:`ivf_topk`: (cent_id, centq, centn2).
     ``train_mod="auto"`` trains on the √n-proportional sample
-    (:func:`auto_train_mod`) — the 100 TB default."""
-    _, cents = _kmeans_train(emb, id_col, vec_col, cent_mod, iters, train_mod)
+    (:func:`auto_train_mod`) — the 100 TB default.  ``n_rows`` shares
+    an already-paid corpus count (guide §1.2)."""
+    _, cents = _kmeans_train(
+        emb, id_col, vec_col, cent_mod, iters, train_mod, n_rows=n_rows
+    )
     return cents.select(
         "cent_id", F.col("cq").alias("centq"), F.col("cn2").alias("centn2")
     )

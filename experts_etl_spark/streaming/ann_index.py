@@ -308,8 +308,11 @@ def maybe_rebuild_pq_index(
         .localCheckpoint(eager=True)
     )
     n_ids = corpus.count()
+    # n_ids already counted for the publish audit — share it with the
+    # trainer's knob derivation instead of a second archive count
     _, books2 = pq_train(
-        corpus, id_col, vec_col, m, code_mod, iters, train_mod="auto"
+        corpus, id_col, vec_col, m, code_mod, iters, train_mod="auto",
+        n_rows=n_ids,
     )
     books2 = books2.localCheckpoint(eager=True)
     post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
@@ -319,7 +322,8 @@ def maybe_rebuild_pq_index(
         # fallback): one full-Lloyd retry before wedging the stream on
         # a veto that every replay would just re-hit (r12 ADVICE)
         _, books2 = pq_train(
-            corpus, id_col, vec_col, m, code_mod, iters, train_mod="full"
+            corpus, id_col, vec_col, m, code_mod, iters, train_mod="full",
+            n_rows=n_ids,
         )
         books2 = books2.localCheckpoint(eager=True)
         post_ppm = pq_recon_ppm(corpus, books2, id_col, vec_col, m)
